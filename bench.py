@@ -1,0 +1,84 @@
+"""Benchmark: train-step throughput (fwd + bwd + Adam) on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only measured end-to-end number is 0.4 it/s at
+489x272 with 50k Gaussians SH3 on an RTX 3060 (BASELINE.md) = 0.0532 Mpix/s of
+forward+backward training throughput. We report Mpix/s on the same workload
+shape (50k Gaussians, SH degree 3, ~0.13 Mpix view) and vs_baseline against
+0.0532 Mpix/s.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from tpugs.ops.render import RasterConfig, render
+    from tpugs.optim.adam import AdamConfig, adam_init, adam_step
+    from tpugs.train.loss import combined_loss
+    from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
+
+    img_w, img_h = 489, 272  # the reference benchmark resolution (Truck r=4)
+    n = 50_000
+    cfg = RasterConfig(
+        img_h=img_h, img_w=img_w, tile_h=16, tile_w=16,
+        pair_capacity=1 << 20, max_hits_per_tile=1024,
+    )
+    params = synthetic_params(n, seed=0)
+    alive = jnp.ones((n,), bool)
+    viewmat = jnp.eye(4)
+    intr = synthetic_intrinsics(img_w, img_h)
+    bg = jnp.zeros((3,))
+    adam_cfg = AdamConfig()
+    adam_state = adam_init(params)
+    rng = jax.random.PRNGKey(0)
+    target = jax.random.uniform(rng, (img_h, img_w, 3))
+
+    @jax.jit
+    def train_step(params, adam_state, step):
+        def loss_fn(p):
+            out = render(
+                p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
+                p["sh"], alive, viewmat, intr, cfg, 3, bg,
+            )
+            return combined_loss(out.color, target, 0.2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, adam_state = adam_step(adam_cfg, adam_state, params, grads, step)
+        return params, adam_state, loss
+
+    # Warmup / compile.
+    params, adam_state, loss = train_step(params, adam_state, jnp.zeros(()))
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, adam_state, loss = train_step(
+            params, adam_state, jnp.asarray(float(i + 1))
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    its = iters / dt
+    mpix_s = its * img_w * img_h / 1e6
+    baseline_mpix_s = 0.4 * img_w * img_h / 1e6  # reference: 0.4 it/s, same view
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_throughput_50k_sh3_489x272",
+                "value": round(mpix_s, 4),
+                "unit": "Mpix/s (fwd+bwd+adam)",
+                "vs_baseline": round(mpix_s / baseline_mpix_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Densification tests (mirrors reference tests/test_densification.cpp and
+test_mcmc.cpp) — schedule boundaries, clone/split/prune triggers on hand-built
+models, MCMC invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugs.optim.adam import adam_init
+from tpugs.optim.densify_adc import (
+    ADCConfig,
+    ADCState,
+    adc_accumulate,
+    adc_densify,
+    adc_init,
+    reset_opacity,
+    RESET_OPACITY,
+)
+from tpugs.optim.densify_mcmc import (
+    MCMCConfig,
+    inject_noise,
+    noise_lr,
+    regularization,
+    relocate,
+)
+
+EXTENT = 10.0
+
+
+def hand_model(nc=16, n=8):
+    """Capacity-16 model with 8 alive Gaussians."""
+    rng = np.random.default_rng(0)
+    params = {
+        "means": jnp.asarray(rng.normal(size=(nc, 3)).astype(np.float32)),
+        "quats": jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (nc, 1)),
+        "log_scales": jnp.log(jnp.full((nc, 3), 0.01)),  # small => clone-eligible
+        "opacity_logits": jnp.full((nc,), 2.0),
+        "sh": jnp.zeros((nc, 3, 1)),
+    }
+    alive = jnp.arange(nc) < n
+    return params, alive
+
+
+class TestSchedule:
+    def test_densify_window(self):
+        cfg = ADCConfig()
+        assert not cfg.should_densify(499)
+        assert cfg.should_densify(500)
+        assert not cfg.should_densify(550)
+        assert cfg.should_densify(600)
+        assert cfg.should_densify(15000)
+        assert not cfg.should_densify(15100)
+
+    def test_opacity_reset_schedule(self):
+        cfg = ADCConfig()
+        assert not cfg.should_reset_opacity(0)
+        assert cfg.should_reset_opacity(3000)
+        assert cfg.should_reset_opacity(6000)
+        assert not cfg.should_reset_opacity(3001)
+        assert not cfg.should_reset_opacity(15001 + 2999)  # past densify_until
+
+
+class TestADC:
+    def _adc_with_grads(self, nc, grads, counts=None, radii=None):
+        adc = adc_init(nc)
+        return ADCState(
+            grad_accum=jnp.asarray(grads, jnp.float32),
+            grad_count=jnp.asarray(
+                counts if counts is not None else np.ones(nc), jnp.float32
+            ),
+            max_radii=jnp.asarray(
+                radii if radii is not None else np.zeros(nc), jnp.float32
+            ),
+        )
+
+    def test_accumulate_only_visible(self):
+        adc = adc_init(4)
+        d2d = jnp.array([[3.0, 4.0], [1.0, 0.0], [5.0, 12.0], [8.0, 6.0]])
+        radii = jnp.array([2, 0, 1, 0])
+        adc = adc_accumulate(adc, d2d, radii)
+        np.testing.assert_allclose(np.asarray(adc.grad_accum), [5.0, 0.0, 13.0, 0.0])
+        np.testing.assert_allclose(np.asarray(adc.grad_count), [1, 0, 1, 0])
+        np.testing.assert_allclose(np.asarray(adc.max_radii), [2, 0, 1, 0])
+
+    def test_clone_high_grad_small(self):
+        params, alive = hand_model()
+        nc = 16
+        grads = np.zeros(nc)
+        grads[2] = 1.0  # only gaussian 2 has high grad; all scales small
+        adc = self._adc_with_grads(nc, grads)
+        key = jax.random.PRNGKey(0)
+        p2, alive2, changed, _, stats = adc_densify(
+            ADCConfig(), params, alive, adc, key, EXTENT, size_pruning_active=False
+        )
+        assert int(stats["num_cloned"]) == 1
+        assert int(stats["num_split"]) == 0
+        assert int(jnp.sum(alive2)) == 9  # 8 + 1 clone
+        # The clone landed in a previously-dead slot with identical params.
+        new_slots = np.asarray(alive2 & ~alive)
+        assert new_slots.sum() == 1
+        j = int(np.nonzero(new_slots)[0][0])
+        np.testing.assert_allclose(np.asarray(p2["means"][j]), np.asarray(params["means"][2]))
+
+    def test_split_high_grad_large(self):
+        params, alive = hand_model()
+        params["log_scales"] = params["log_scales"].at[3].set(jnp.log(0.5))  # large
+        nc = 16
+        grads = np.zeros(nc)
+        grads[3] = 1.0
+        adc = self._adc_with_grads(nc, grads)
+        p2, alive2, changed, _, stats = adc_densify(
+            ADCConfig(), params, alive, adc, jax.random.PRNGKey(1), EXTENT, False
+        )
+        assert int(stats["num_split"]) == 1
+        assert int(jnp.sum(alive2)) == 9  # 8 - 1 parent + 2 children
+        # Parent slot now holds child 1 with reduced scale.
+        np.testing.assert_allclose(
+            np.asarray(p2["log_scales"][3]),
+            np.log(0.5) - np.log(1.6),
+            rtol=1e-4,
+        )
+
+    def test_prune_low_opacity(self):
+        params, alive = hand_model()
+        params["opacity_logits"] = params["opacity_logits"].at[1].set(-10.0)
+        adc = adc_init(16)
+        p2, alive2, changed, _, stats = adc_densify(
+            ADCConfig(), params, alive, adc, jax.random.PRNGKey(2), EXTENT, False
+        )
+        assert int(stats["num_pruned"]) == 1
+        assert not bool(alive2[1])
+        assert int(jnp.sum(alive2)) == 7
+
+    def test_size_prune_gated(self):
+        params, alive = hand_model()
+        adc_state = adc_init(16)
+        adc_state = adc_state.replace(
+            max_radii=adc_state.max_radii.at[0].set(100.0)  # huge on screen
+        )
+        # Before first opacity reset: size pruning off -> survives.
+        _, alive_a, _, _, _ = adc_densify(
+            ADCConfig(), params, alive, adc_state, jax.random.PRNGKey(3), EXTENT, False
+        )
+        assert bool(alive_a[0])
+        # After: pruned.
+        _, alive_b, _, _, _ = adc_densify(
+            ADCConfig(), params, alive, adc_state, jax.random.PRNGKey(3), EXTENT, True
+        )
+        assert not bool(alive_b[0])
+
+    def test_capacity_budget_respected(self):
+        params, alive = hand_model(nc=8, n=8)  # full capacity
+        grads = np.ones(8)  # everyone wants to clone
+        adc = self._adc_with_grads(8, grads)
+        p2, alive2, _, _, stats = adc_densify(
+            ADCConfig(), params, alive, adc, jax.random.PRNGKey(4), EXTENT, False
+        )
+        assert int(stats["num_cloned"]) == 0  # no free slots
+        assert int(jnp.sum(alive2)) == 8
+
+    def test_reset_opacity_value(self):
+        params, _ = hand_model()
+        p2 = reset_opacity(params)
+        np.testing.assert_allclose(np.asarray(p2["opacity_logits"]), RESET_OPACITY)
+        assert abs(1.0 / (1.0 + np.exp(-RESET_OPACITY)) - 0.01) < 1e-6
+
+
+class TestMCMC:
+    def test_constant_n(self):
+        params, alive = hand_model()
+        params["opacity_logits"] = params["opacity_logits"].at[0].set(-10.0)
+        p2, changed, stats = relocate(
+            MCMCConfig(relocate_cap=1.0), params, alive, jax.random.PRNGKey(0), EXTENT
+        )
+        assert int(stats["num_total"]) == 8
+        assert int(stats["num_dead"]) == 1
+        assert int(stats["num_relocated"]) == 1
+        assert bool(changed[0])
+        # Relocated slot got the low-opacity logit.
+        np.testing.assert_allclose(float(p2["opacity_logits"][0]), -4.5951, rtol=1e-4)
+
+    def test_relocate_cap(self):
+        params, alive = hand_model()
+        # 4 dead of 8 alive; cap 25% of 8 = 2.
+        for i in range(4):
+            params["opacity_logits"] = params["opacity_logits"].at[i].set(-10.0)
+        _, changed, stats = relocate(
+            MCMCConfig(relocate_cap=0.25), params, alive, jax.random.PRNGKey(1), EXTENT
+        )
+        assert int(stats["num_relocated"]) == 2
+        assert int(np.asarray(changed).sum()) == 2
+
+    def test_no_dead_noop(self):
+        params, alive = hand_model()
+        p2, changed, stats = relocate(
+            MCMCConfig(), params, alive, jax.random.PRNGKey(2), EXTENT
+        )
+        assert int(stats["num_relocated"]) == 0
+        np.testing.assert_array_equal(np.asarray(p2["means"]), np.asarray(params["means"]))
+
+    def test_noise_gate_selectivity(self):
+        """Low-opacity Gaussians get >2x the noise of high-opacity ones
+        (reference: test_mcmc.cpp noise-gate test)."""
+        nc = 2048
+        params = {
+            "means": jnp.zeros((nc, 3)),
+            "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (nc, 1)),
+            "log_scales": jnp.zeros((nc, 3)),
+            "opacity_logits": jnp.concatenate(
+                [jnp.full((nc // 2,), -6.0), jnp.full((nc // 2,), 6.0)]
+            ),
+            "sh": jnp.zeros((nc, 3, 1)),
+        }
+        alive = jnp.ones((nc,), bool)
+        p2 = inject_noise(MCMCConfig(), params, alive, jnp.asarray(15000.0),
+                          jax.random.PRNGKey(3))
+        disp = np.linalg.norm(np.asarray(p2["means"] - params["means"]), axis=-1)
+        low = disp[: nc // 2].mean()
+        high = disp[nc // 2 :].mean()
+        assert low > 2.0 * max(high, 1e-12)
+
+    def test_noise_lr_decay(self):
+        cfg = MCMCConfig()
+        assert abs(float(noise_lr(0, cfg)) - 5e5) < 1.0
+        assert abs(float(noise_lr(30000, cfg)) - 1e3) < 1.0
+        assert float(noise_lr(15000, cfg)) < 5e5
+
+    def test_regularization_value(self):
+        params, alive = hand_model()
+        r = float(regularization(MCMCConfig(), params, alive))
+        opac = 1.0 / (1.0 + np.exp(-2.0))
+        expected = 0.01 * opac + 0.01 * 0.01  # exp(log 0.01) scales
+        np.testing.assert_allclose(r, expected, rtol=1e-4)
+
+    def test_regularization_differentiable(self):
+        params, alive = hand_model()
+        g = jax.grad(lambda p: regularization(MCMCConfig(), p, alive))(params)
+        assert np.isfinite(np.asarray(g["opacity_logits"])).all()
+        assert np.abs(np.asarray(g["log_scales"])[:8]).max() > 0

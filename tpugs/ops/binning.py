@@ -1,0 +1,137 @@
+"""Stage 2 — tile binning + depth sort, shape-stable.
+
+The reference builds a data-dependent-length (tile, gaussian) pair list with a
+cumsum + one-pair-per-thread fill, radix-sorts packed 64-bit keys with CUB, and
+detects range boundaries (reference: src/rasterizer/sorting.cu:10-211). That
+design has two TPU problems: the pair count P changes every frame (dynamic
+shape => retrace) and 64-bit keys are slow on TPU.
+
+TPU-native redesign:
+- fixed pair capacity P chosen at jit time; the actual pair count is carried
+  as a traced scalar and an `overflow` flag (no `.item()` sync — the reference
+  syncs on `total_pairs.item<int>()` every frame, sorting.cu:152);
+- slot -> (gaussian, tile) assignment is a vectorized binary search over the
+  exclusive-cumsum offsets (replaces the scatter kernel with a gather);
+- sorting uses `jax.lax.sort` with two 32-bit keys (tile_id, depth) instead of
+  packed uint64 — lexicographic multi-key sort is native in XLA;
+- tile ranges come from two vectorized searchsorted calls over the sorted
+  tile ids (replaces the boundary-detection kernel).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpugs.ops.projection import ProjectionOutput
+
+
+@struct.dataclass
+class BinningResult:
+    """Sorted (tile, gaussian) pair list + per-tile ranges.
+
+    pair_gauss [P]  gaussian index per sorted pair (num_tiles sentinel rows are
+                    sorted to the back; check pair_tile < num_tiles for validity)
+    pair_tile  [P]  tile id per sorted pair (== num_tiles for invalid slots)
+    tile_start [T]  start offset of each tile's run in the sorted list
+    tile_stop  [T]  end offset (exclusive)
+    num_pairs  []   true total pair count (may exceed P)
+    overflow   []   bool: true total exceeded capacity P (pairs dropped)
+    """
+
+    pair_gauss: jnp.ndarray
+    pair_tile: jnp.ndarray
+    tile_start: jnp.ndarray
+    tile_stop: jnp.ndarray
+    num_pairs: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int, tile_h: int):
+    """Per-Gaussian touched tile rectangle (reference: projection.cu:172-188).
+
+    Returns (tx0, ty0, w_tiles, h_tiles) int32 arrays; culled Gaussians get
+    zero-area rects.
+    """
+    ntx = -(-img_w // tile_w)
+    nty = -(-img_h // tile_h)
+    x = proj.means2d[:, 0]
+    y = proj.means2d[:, 1]
+    r = proj.radii.astype(jnp.float32)
+
+    rect_min_x = jnp.clip(jnp.floor(x - r), 0, img_w).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor(y - r), 0, img_h).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor(x + r + 1.0), 0, img_w).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor(y + r + 1.0), 0, img_h).astype(jnp.int32)
+
+    tx0 = rect_min_x // tile_w
+    ty0 = rect_min_y // tile_h
+    tx1 = jnp.minimum(ntx, -(-rect_max_x // tile_w))
+    ty1 = jnp.minimum(nty, -(-rect_max_y // tile_h))
+
+    w_tiles = jnp.maximum(tx1 - tx0, 0)
+    h_tiles = jnp.maximum(ty1 - ty0, 0)
+    zero = jnp.zeros_like(w_tiles)
+    w_tiles = jnp.where(proj.visible, w_tiles, zero)
+    h_tiles = jnp.where(proj.visible, h_tiles, zero)
+    return tx0, ty0, w_tiles, h_tiles
+
+
+def bin_gaussians(
+    proj: ProjectionOutput,
+    img_w: int,
+    img_h: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+) -> BinningResult:
+    """Expand Gaussians into a depth-sorted, tile-grouped pair list."""
+    ntx = -(-img_w // tile_w)
+    nty = -(-img_h // tile_h)
+    num_tiles = ntx * nty
+
+    tx0, ty0, w_tiles, h_tiles = tile_rects(proj, img_w, img_h, tile_w, tile_h)
+    counts = w_tiles * h_tiles  # [N]
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = offsets[-1] + counts[-1]
+
+    # Slot -> owning gaussian: largest g with offsets[g] <= slot. Duplicated
+    # offsets (zero-count gaussians) resolve to the last duplicate, which is
+    # the one with a nonzero count.
+    slots = jnp.arange(pair_capacity, dtype=jnp.int32)
+    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, counts.shape[0] - 1)
+    in_range = slots < jnp.minimum(total, pair_capacity)
+
+    local = slots - offsets[g]
+    w_g = jnp.maximum(w_tiles[g], 1)
+    tx = tx0[g] + local % w_g
+    ty = ty0[g] + local // w_g
+    tile_id = (ty * ntx + tx).astype(jnp.int32)
+
+    depth = proj.depths[g]
+    # Invalid slots: sentinel tile sorts to the back.
+    tile_id = jnp.where(in_range, tile_id, num_tiles)
+    depth = jnp.where(in_range, depth, jnp.inf)
+
+    sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
+        (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
+    )
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    tile_stop = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+
+    return BinningResult(
+        pair_gauss=sorted_g,
+        pair_tile=sorted_tile,
+        tile_start=tile_start,
+        tile_stop=tile_stop,
+        num_pairs=total,
+        overflow=total > pair_capacity,
+    )
+
+
+def max_pairs_per_tile(binning: BinningResult) -> jnp.ndarray:
+    """Largest per-tile run length (for choosing/checking K capacity)."""
+    return jnp.max(binning.tile_stop - binning.tile_start)

@@ -1,0 +1,102 @@
+"""Top-level differentiable render() — projection -> binning -> compositing.
+
+TPU equivalent of the reference host orchestration
+(reference: src/rasterizer/rasterizer.cpp:22-186), with two deliberate design
+changes:
+- no intermediates are explicitly retained for backward: projection/SH
+  differentiate by autodiff, and the compositor's custom VJP keeps only
+  final_T + a per-pixel last-contributor index;
+- the screen-space position gradient that densification needs (reference
+  exports dL_dmeans_2d explicitly, rasterizer.hpp:65-72) is exposed with a
+  zero-valued probe input: grad w.r.t. `means2d_probe` IS dL/d(screen xy).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from tpugs.ops.binning import bin_gaussians
+from tpugs.ops.projection import ProjectionOutput, project_gaussians
+from tpugs.ops.rasterize_tiled import RasterConfig, composite_tiles, tiles_to_image
+
+
+@struct.dataclass
+class RenderOutput:
+    """Reference: RenderOutput in rasterizer.hpp:27-46, minus retained
+    intermediates (not needed under autodiff)."""
+
+    color: jnp.ndarray  # [H, W, 3]
+    final_T: jnp.ndarray  # [H, W]
+    n_contrib: jnp.ndarray  # [H, W] int32
+    radii: jnp.ndarray  # [N] int32 (0 = culled) — densification visibility
+    means2d: jnp.ndarray  # [N, 2] screen positions
+    depths: jnp.ndarray  # [N]
+    visible: jnp.ndarray  # [N] bool
+    num_pairs: jnp.ndarray  # [] int32 true pair count
+    pair_overflow: jnp.ndarray  # [] bool — pair capacity exceeded
+
+
+def render(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    opacity_logits: jnp.ndarray,
+    sh: jnp.ndarray,
+    alive: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    cfg: RasterConfig,
+    sh_degree: int,
+    background: jnp.ndarray,
+    scale_modifier: float = 1.0,
+    means2d_probe: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier."""
+    proj = project_gaussians(
+        means, quats, log_scales, opacity_logits, sh, alive,
+        viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree, scale_modifier,
+    )
+    means2d = proj.means2d
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+
+    binning = bin_gaussians(
+        proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
+    )
+
+    color_t, t_t, nc_t = composite_tiles(
+        cfg,
+        binning.tile_start,
+        binning.tile_stop,
+        binning.pair_gauss,
+        means2d,
+        proj.conic,
+        proj.rgb,
+        proj.opac,
+        jnp.asarray(background, jnp.float32),
+    )
+    color = tiles_to_image(cfg, color_t)[: cfg.img_h, : cfg.img_w]
+    final_t = tiles_to_image(cfg, t_t)[: cfg.img_h, : cfg.img_w]
+    n_contrib = tiles_to_image(cfg, nc_t)[: cfg.img_h, : cfg.img_w]
+
+    return RenderOutput(
+        color=color,
+        final_T=final_t,
+        n_contrib=n_contrib,
+        radii=proj.radii,
+        means2d=proj.means2d,
+        depths=proj.depths,
+        visible=proj.visible,
+        num_pairs=binning.num_pairs,
+        pair_overflow=binning.overflow,
+    )
+
+
+def render_state(state, viewmat, intrinsics, cfg, sh_degree, background, **kw):
+    """Convenience: render a GaussianState pytree."""
+    return render(
+        state.means, state.quats, state.log_scales, state.opacity_logits,
+        state.sh, state.alive, viewmat, intrinsics, cfg, sh_degree, background, **kw,
+    )

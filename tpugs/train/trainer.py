@@ -1,0 +1,327 @@
+"""Training loop — one jitted, shape-stable train step.
+
+TPU re-design of reference src/training/trainer.cpp:52-375. The reference's
+per-iteration host work (disk image load, H2D copy, >=3 .item() syncs, §3.1 of
+SURVEY.md) is eliminated: the image bank is resident on device, the step index
+is a device scalar, and everything from render to Adam update is a single
+jitted function. Densification events run as separately-jitted shape-stable
+updates on their schedule.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tpugs.core.gaussians import GaussianState
+from tpugs.core.init import init_from_sfm
+from tpugs.data.dataset import Dataset
+from tpugs.io.ply import write_gaussian_ply
+from tpugs.ops.render import RasterConfig, render
+from tpugs.optim.adam import AdamConfig, AdamState, adam_init, adam_step, zero_slots
+from tpugs.optim.densify_adc import (
+    ADCConfig,
+    ADCState,
+    adc_accumulate,
+    adc_densify,
+    adc_init,
+    reset_opacity,
+)
+from tpugs.optim.densify_mcmc import MCMCConfig, inject_noise, regularization, relocate
+from tpugs.optim.lr_schedule import active_sh_degree_for_step
+from tpugs.train.loss import combined_loss
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """All knobs (reference: trainer.hpp:38-75)."""
+
+    iterations: int = 30000
+    resolution_scale: int = 1
+    sh_degree: int = 3
+    lambda_ssim: float = 0.2
+    save_every: int = 7000
+    log_every: int = 100
+    eval_every: int = 0  # 0 = only at end
+    capacity: int = 1 << 17  # fixed Gaussian capacity (replaces max_gaussians)
+    random_background: bool = False
+    seed: int = 42
+    densify_mode: str = "adc"  # "adc" | "mcmc" | "none"
+    adam: AdamConfig = dataclasses.field(default_factory=AdamConfig)
+    adc: ADCConfig = dataclasses.field(default_factory=ADCConfig)
+    mcmc: MCMCConfig = dataclasses.field(default_factory=MCMCConfig)
+    # Rasterizer geometry
+    tile_h: int = 16
+    tile_w: int = 16
+    pair_capacity: int = 1 << 21
+    max_hits_per_tile: int = 2048
+    output_dir: str = "output"
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    alive: jnp.ndarray
+    adam: AdamState
+    adc: ADCState
+    key: jax.Array
+
+
+@struct.dataclass
+class StepStats:
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    num_pairs: jnp.ndarray
+    pair_overflow: jnp.ndarray
+
+
+def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float):
+    """Build the jitted train step. Static across steps except sh_degree
+    (4 compiled variants over the run)."""
+
+    mcmc_mode = cfg.densify_mode == "mcmc"
+    adc_mode = cfg.densify_mode == "adc"
+
+    def train_step(state: TrainState, image, viewmat, intrinsics, step, sh_degree: int):
+        key, bg_key, noise_key = jax.random.split(state.key, 3)
+        if cfg.random_background:
+            background = jax.random.uniform(bg_key, (3,))
+        else:
+            background = jnp.zeros((3,))
+
+        nc = state.alive.shape[0]
+        probe = jnp.zeros((nc, 2))
+
+        def loss_fn(params, probe):
+            out = render(
+                params["means"], params["quats"], params["log_scales"],
+                params["opacity_logits"], params["sh"], state.alive,
+                viewmat, intrinsics, raster, sh_degree, background,
+                means2d_probe=probe,
+            )
+            loss = combined_loss(out.color, image, cfg.lambda_ssim)
+            if mcmc_mode:
+                loss = loss + regularization(cfg.mcmc, params, state.alive)
+            return loss, out
+
+        (loss, out), (grads, d_means2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probe)
+
+        new_params, new_adam = adam_step(cfg.adam, state.adam, state.params, grads, step)
+
+        adc = state.adc
+        if adc_mode:
+            adc = adc_accumulate(adc, d_means2d, out.radii)
+        if mcmc_mode:
+            new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
+
+        l1 = jnp.mean(jnp.abs(out.color - image))
+        stats = StepStats(
+            loss=loss, l1=l1, num_pairs=out.num_pairs, pair_overflow=out.pair_overflow
+        )
+        new_state = TrainState(
+            params=new_params, alive=state.alive, adam=new_adam, adc=adc, key=key
+        )
+        return new_state, stats
+
+    return jax.jit(train_step, static_argnames=("sh_degree",), donate_argnums=(0,))
+
+
+def make_densify_step(cfg: TrainConfig, scene_extent: float):
+    def densify(state: TrainState, size_pruning_active: bool):
+        key, dkey = jax.random.split(state.key)
+        params, alive, changed, adc, stats = adc_densify(
+            cfg.adc, state.params, state.alive, state.adc, dkey,
+            scene_extent, size_pruning_active,
+        )
+        adam = zero_slots(state.adam, changed)
+        return (
+            TrainState(params=params, alive=alive, adam=adam, adc=adc, key=key),
+            stats,
+        )
+
+    return jax.jit(densify, static_argnames=("size_pruning_active",))
+
+
+def make_relocate_step(cfg: TrainConfig, scene_extent: float):
+    def reloc(state: TrainState):
+        key, rkey = jax.random.split(state.key)
+        params, changed, stats = relocate(
+            cfg.mcmc, state.params, state.alive, rkey, scene_extent
+        )
+        adam = zero_slots(state.adam, changed)
+        return (
+            TrainState(params=params, alive=state.alive, adam=adam,
+                       adc=state.adc, key=key),
+            stats,
+        )
+
+    return jax.jit(reloc)
+
+
+@jax.jit
+def _reset_opacity_step(state: TrainState):
+    params = reset_opacity(state.params)
+    mask = jnp.ones_like(state.alive)
+    # Zero only the opacity moments (fresh logits shouldn't inherit momentum).
+    adam = state.adam
+    new_m = dict(adam.m)
+    new_v = dict(adam.v)
+    new_m["opacity_logits"] = jnp.zeros_like(adam.m["opacity_logits"])
+    new_v["opacity_logits"] = jnp.zeros_like(adam.v["opacity_logits"])
+    adam = AdamState(m=new_m, v=new_v, count=adam.count)
+    del mask
+    return TrainState(params=params, alive=state.alive, adam=adam,
+                      adc=state.adc, key=state.key)
+
+
+class Trainer:
+    """Orchestrates dataset loading, the jitted step, densification schedule,
+    logging, and checkpoints (reference: Trainer, trainer.cpp:52-375)."""
+
+    def __init__(self, data_dir: str, config: TrainConfig = TrainConfig(),
+                 log_fn=print):
+        self.cfg = config
+        self.log = log_fn
+        self.dataset = Dataset(data_dir, config.resolution_scale)
+        if self.dataset.num_train() == 0:
+            raise ValueError("no training cameras")
+        self.scene_extent = self.dataset.scene_bounds.extent
+
+        cam0 = self.dataset.train_cameras[0]
+        self.raster = RasterConfig(
+            img_h=cam0.height, img_w=cam0.width,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            pair_capacity=config.pair_capacity,
+            max_hits_per_tile=config.max_hits_per_tile,
+        )
+
+        n_points = self.dataset.points_xyz.shape[0]
+        capacity = max(config.capacity, 1 << int(np.ceil(np.log2(max(n_points, 1)))))
+        gs = init_from_sfm(
+            self.dataset.points_xyz, self.dataset.points_rgb,
+            capacity=capacity, max_sh_degree=config.sh_degree,
+        )
+        params = gs.params()
+        self.state = TrainState(
+            params=params,
+            alive=gs.alive,
+            adam=adam_init(params),
+            adc=adc_init(capacity),
+            key=jax.random.PRNGKey(config.seed),
+        )
+
+        self._train_step = make_train_step(config, self.raster, self.scene_extent)
+        self._densify = make_densify_step(config, self.scene_extent)
+        self._relocate = make_relocate_step(config, self.scene_extent)
+
+        # Device-resident image bank: [V, H, W, 3]. Uniform camera resolution
+        # is required (the common COLMAP case); mixed-size scenes should use
+        # resolution_scale to normalize.
+        sizes = {(c.height, c.width) for c in self.dataset.train_cameras}
+        if len(sizes) != 1:
+            raise ValueError(f"mixed camera resolutions unsupported: {sizes}")
+        self._images = None  # lazy
+        self._viewmats = jnp.asarray(
+            np.stack([c.world_to_camera() for c in self.dataset.train_cameras]),
+            jnp.float32,
+        )
+        self._intrinsics = jnp.asarray(
+            np.stack([c.intrinsics_array() for c in self.dataset.train_cameras]),
+            jnp.float32,
+        )
+        self._rng = np.random.default_rng(config.seed)
+
+    def _image_bank(self):
+        if self._images is None:
+            imgs = np.stack(
+                [self.dataset.load_train_image(i) for i in range(self.dataset.num_train())]
+            )
+            self._images = jax.device_put(jnp.asarray(imgs))
+        return self._images
+
+    def train(self, iterations: Optional[int] = None):
+        cfg = self.cfg
+        iters = iterations if iterations is not None else cfg.iterations
+        images = self._image_bank()
+        os.makedirs(cfg.output_dir, exist_ok=True)
+
+        t0 = time.perf_counter()
+        window_start = t0
+        history = []
+        for step in range(iters):
+            vi = int(self._rng.integers(0, self.dataset.num_train()))
+            sh_deg = active_sh_degree_for_step(step, cfg.sh_degree)
+            self.state, stats = self._train_step(
+                self.state, images[vi], self._viewmats[vi], self._intrinsics[vi],
+                jnp.asarray(step, jnp.float32), sh_deg,
+            )
+
+            if cfg.densify_mode == "adc":
+                if cfg.adc.should_reset_opacity(step):
+                    self.state = _reset_opacity_step(self.state)
+                    self.log(f"[{step}] opacity reset")
+                if cfg.adc.should_densify(step):
+                    self.state, dstats = self._densify(
+                        self.state,
+                        size_pruning_active=step > cfg.adc.opacity_reset_every,
+                    )
+                    self.log(
+                        f"[{step}] densify: +{int(dstats['num_cloned'])} cloned, "
+                        f"+{int(dstats['num_split'])} split, "
+                        f"-{int(dstats['num_pruned'])} pruned, "
+                        f"N={int(dstats['num_after'])}"
+                    )
+            elif cfg.densify_mode == "mcmc":
+                if cfg.mcmc.should_relocate(step):
+                    self.state, rstats = self._relocate(self.state)
+                    self.log(
+                        f"[{step}] mcmc relocate: {int(rstats['num_relocated'])} of "
+                        f"{int(rstats['num_dead'])} dead (N={int(rstats['num_total'])})"
+                    )
+
+            if cfg.log_every > 0 and step % cfg.log_every == 0:
+                loss = float(stats.loss)
+                now = time.perf_counter()
+                its = cfg.log_every / max(now - window_start, 1e-9) if step else 0.0
+                window_start = now
+                n_alive = int(jnp.sum(self.state.alive))
+                self.log(
+                    f"[{step}] loss={loss:.4f} l1={float(stats.l1):.4f} "
+                    f"N={n_alive} sh={sh_deg} pairs={int(stats.num_pairs)} "
+                    f"{'OVERFLOW ' if bool(stats.pair_overflow) else ''}{its:.2f} it/s"
+                )
+                history.append({"step": step, "loss": loss})
+
+            if cfg.save_every > 0 and step > 0 and step % cfg.save_every == 0:
+                self.save_checkpoint(step)
+
+        self.save_checkpoint(iters)
+        total = time.perf_counter() - t0
+        self.log(f"trained {iters} iters in {total:.1f}s ({iters / total:.2f} it/s)")
+        return history
+
+    def gaussian_state(self) -> GaussianState:
+        p = self.state.params
+        return GaussianState(
+            means=p["means"], quats=p["quats"], log_scales=p["log_scales"],
+            opacity_logits=p["opacity_logits"], sh=p["sh"], alive=self.state.alive,
+        )
+
+    def save_checkpoint(self, step: int):
+        """PLY export (interop) — reference: trainer.cpp:318-328."""
+        path = os.path.join(self.cfg.output_dir, f"model_{step:07d}.ply")
+        arrs = self.gaussian_state().compact_arrays()
+        write_gaussian_ply(
+            path, arrs["means"], arrs["sh"], arrs["opacity_logits"],
+            arrs["log_scales"], arrs["quats"],
+        )
+        self.log(f"[{step}] checkpoint -> {path}")
+        return path

@@ -1,0 +1,101 @@
+"""Offline viewer: render camera trajectories to image files.
+
+An interactive CUDA-GL window (reference: src/viewer/viewer.cpp) makes no sense
+on a headless TPU pod; the TPU-native equivalents are (a) this offline
+trajectory renderer and (b) the interactive web viewer (tpugs.viewer.server)
+that streams JPEG frames over HTTP. All three of the reference's render modes
+are kept: RGB, depth (1 - final_T opacity proxy with turbo colormap), and
+contributor-count heatmap (reference: viewer.hpp:26-30, viewer.cpp:647-670).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from tpugs.core.camera import CameraInfo
+from tpugs.ops.render import RasterConfig, render
+
+# Polynomial fit of the Turbo colormap (Google AI blog, 2019) — cheap, no LUT.
+_TURBO_COEFFS = np.array(
+    [
+        [0.13572138, 4.61539260, -42.66032258, 132.13108234, -152.94239396, 59.28637943],
+        [0.09140261, 2.19418839, 4.84296658, -14.18503333, 4.27729857, 2.82956604],
+        [0.10667330, 12.64194608, -60.58204836, 110.36276771, -89.90310912, 27.34824973],
+    ]
+)
+
+
+def turbo_colormap(x: np.ndarray) -> np.ndarray:
+    """x in [0,1] -> rgb [.., 3]."""
+    x = np.clip(x, 0.0, 1.0)
+    powers = np.stack([np.ones_like(x), x, x**2, x**3, x**4, x**5], axis=-1)
+    rgb = powers @ _TURBO_COEFFS.T
+    return np.clip(rgb, 0.0, 1.0)
+
+
+class OfflineRenderer:
+    def __init__(self, params: dict, sh_degree: int = -1,
+                 tile: int = 16, pair_capacity: int = 1 << 21, max_hits: int = 2048):
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        n = self.params["means"].shape[0]
+        self.alive = jnp.ones((n,), bool)
+        max_deg = int(round(self.params["sh"].shape[-1] ** 0.5)) - 1
+        self.sh_degree = max_deg if sh_degree < 0 else min(sh_degree, max_deg)
+        self.tile = tile
+        self.pair_capacity = pair_capacity
+        self.max_hits = max_hits
+        self._render_jit = {}
+
+    def _get_render(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._render_jit:
+            cfg = RasterConfig(
+                img_h=h, img_w=w, tile_h=self.tile, tile_w=self.tile,
+                pair_capacity=self.pair_capacity, max_hits_per_tile=self.max_hits,
+            )
+            p = self.params
+            alive = self.alive
+
+            @jax.jit
+            def fn(viewmat, intr, bg):
+                out = render(
+                    p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
+                    p["sh"], alive, viewmat, intr, cfg, self.sh_degree, bg,
+                )
+                return out.color, out.final_T, out.n_contrib
+
+            self._render_jit[key] = fn
+        return self._render_jit[key]
+
+    def render_camera(self, cam: CameraInfo, mode: str = "rgb",
+                      background=(0.0, 0.0, 0.0)) -> np.ndarray:
+        fn = self._get_render(cam.height, cam.width)
+        color, final_t, n_contrib = fn(
+            jnp.asarray(cam.world_to_camera(), jnp.float32),
+            jnp.asarray(cam.intrinsics_array()),
+            jnp.asarray(background, jnp.float32),
+        )
+        if mode == "rgb":
+            return np.clip(np.asarray(color), 0.0, 1.0)
+        if mode == "depth":  # opacity proxy: 1 - final transmittance
+            return turbo_colormap(1.0 - np.asarray(final_t))
+        if mode == "heatmap":
+            nc = np.asarray(n_contrib, np.float32)
+            return turbo_colormap(nc / max(nc.max(), 1.0))
+        raise ValueError(f"unknown mode {mode}")
+
+    def render_trajectory(self, cameras: Iterable[CameraInfo], out_dir: str,
+                          mode: str = "rgb", background=(0.0, 0.0, 0.0)) -> list:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, cam in enumerate(cameras):
+            img = self.render_camera(cam, mode, background)
+            path = os.path.join(out_dir, f"frame_{i:04d}.png")
+            Image.fromarray((img * 255).astype(np.uint8)).save(path)
+            paths.append(path)
+        return paths
