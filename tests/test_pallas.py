@@ -1,0 +1,110 @@
+"""Pallas compositor kernels vs the scan compositor (interpret mode on CPU).
+
+The scan path is itself validated against the dense oracle + autodiff
+(test_rasterize_tiled.py), so agreement here closes the chain:
+oracle -> scan custom-VJP -> Pallas kernels.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugs.ops.render import RasterConfig, render
+
+W, H = 64, 48
+INTR = jnp.array([40.0, 40.0, W / 2, H / 2], jnp.float32)
+CFG = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
+                   pair_capacity=4096, max_hits_per_tile=256)
+BG = jnp.array([0.2, 0.3, 0.4])
+
+
+def make_params(n=60, seed=0, opac=(-1.0, 5.0)):
+    rng = np.random.default_rng(seed)
+    return dict(
+        means=jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-1.5, 1.5, (n, 2)), rng.uniform(2, 8, (n, 1))], 1
+            ),
+            jnp.float32,
+        ),
+        quats=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        log_scales=jnp.log(jnp.asarray(rng.uniform(0.05, 0.3, (n, 3)), jnp.float32)),
+        opacity_logits=jnp.asarray(rng.uniform(*opac, n), jnp.float32),
+        sh=jnp.asarray(rng.normal(size=(n, 3, 1)), jnp.float32) * 0.5,
+    )
+
+
+def run(params, comp, alive=None):
+    n = params["means"].shape[0]
+    alive = jnp.ones((n,), bool) if alive is None else alive
+    return render(
+        params["means"], params["quats"], params["log_scales"],
+        params["opacity_logits"], params["sh"], alive,
+        jnp.eye(4), INTR, CFG, 0, BG, compositor=comp,
+    )
+
+
+class TestPallasForward:
+    def test_pixels_match_scan(self):
+        params = make_params(60, seed=1)
+        op = run(params, "pallas")
+        os_ = run(params, "scan")
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.final_T), np.asarray(os_.final_T), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.n_contrib), np.asarray(os_.n_contrib)
+        )
+
+    def test_saturated_scene(self):
+        params = make_params(80, seed=2, opac=(3.0, 10.0))
+        op = run(params, "pallas")
+        os_ = run(params, "scan")
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.n_contrib), np.asarray(os_.n_contrib)
+        )
+
+    def test_empty_scene(self):
+        params = make_params(8, seed=3)
+        out = run(params, "pallas", alive=jnp.zeros((8,), bool))
+        np.testing.assert_allclose(
+            np.asarray(out.color), np.tile(np.asarray(BG), (H, W, 1)), atol=1e-6
+        )
+
+
+class TestPallasBackward:
+    def test_grads_match_scan(self):
+        params = make_params(50, seed=4)
+        rng = np.random.default_rng(5)
+        target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+        def loss(p, comp):
+            out = run(p, comp)
+            return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.final_T)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+    def test_grads_match_saturated(self):
+        params = make_params(60, seed=6, opac=(4.0, 12.0))
+
+        def loss(p, comp):
+            out = run(p, comp)
+            return jnp.sum(out.color**2)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)

@@ -32,6 +32,7 @@ def build_parser():
     p.add_argument("--densify-until", type=int, default=15000)
     p.add_argument("--densify-every", type=int, default=100)
     p.add_argument("--grad-threshold", type=float, default=2e-4)
+    p.add_argument("--resume", default=None, help="resume from a ckpt_*.npz")
     return p
 
 
@@ -68,7 +69,7 @@ def main(argv=None):
         max_hits_per_tile=args.max_hits,
         output_dir=args.output,
     )
-    trainer = Trainer(args.data, cfg)
+    trainer = Trainer(args.data, cfg, resume_from=args.resume)
     trainer.train()
     return 0
 

@@ -49,8 +49,32 @@ class SparsePoint:
     rgb: np.ndarray  # uint8
 
 
+USE_NATIVE = os.environ.get("TPUGS_NATIVE", "1") != "0"
+
+
+def _native():
+    if not USE_NATIVE:
+        return None
+    from tpugs.data import native
+
+    return native if native.available() else None
+
+
 def parse_cameras_bin(path: str) -> Dict[int, ColmapCamera]:
     """reference: colmap_loader.cpp:43-73."""
+    nat = _native()
+    if nat is not None:
+        rec = nat.parse_cameras(path)
+        if rec is not None:
+            cams = {}
+            for row in rec:
+                model = CameraModel(int(row[1]))
+                np_params = _MODEL_NUM_PARAMS[model]
+                cams[int(row[0])] = ColmapCamera(
+                    int(row[0]), model, int(row[2]), int(row[3]),
+                    row[4 : 4 + np_params].copy(),
+                )
+            return cams
     cams: Dict[int, ColmapCamera] = {}
     with open(path, "rb") as f:
         buf = f.read()
@@ -71,6 +95,18 @@ def parse_cameras_bin(path: str) -> Dict[int, ColmapCamera]:
 
 def parse_images_bin(path: str) -> List[ColmapImage]:
     """reference: colmap_loader.cpp:79-125 (2D observations skipped)."""
+    nat = _native()
+    if nat is not None:
+        res = nat.parse_images(path)
+        if res is not None:
+            rec, names = res
+            return [
+                ColmapImage(
+                    int(rec[i, 0]), rec[i, 1:5].copy(), rec[i, 5:8].copy(),
+                    int(rec[i, 8]), names[i],
+                )
+                for i in range(rec.shape[0])
+            ]
     images: List[ColmapImage] = []
     with open(path, "rb") as f:
         buf = f.read()
@@ -97,6 +133,11 @@ def parse_images_bin(path: str) -> List[ColmapImage]:
 def parse_points3d_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """-> (xyz [N,3] float64, rgb [N,3] uint8). Tracks skipped
     (reference: colmap_loader.cpp:131-177)."""
+    nat = _native()
+    if nat is not None:
+        res = nat.parse_points3d(path)
+        if res is not None:
+            return res
     with open(path, "rb") as f:
         buf = f.read()
     (num,) = struct.unpack_from("<Q", buf, 0)

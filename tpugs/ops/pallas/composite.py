@@ -1,0 +1,592 @@
+"""Pallas TPU compositor kernels — forward + analytic backward.
+
+The performance-critical re-design of the reference's two hottest CUDA kernels
+(reference: src/rasterizer/forward.cu:26-180, backward.cu:40-232) for the TPU
+execution model:
+
+CUDA shape:  one 16x16 tile per thread block, 256 threads = 256 pixels, each
+             thread serially walks the tile's depth-sorted Gaussian list from
+             10 KB shared-memory batches, per-pixel early exit + block vote.
+
+TPU shape:   grid = one kernel step per tile. The tile's PIX pixels sit on the
+             *sublane* axis and the depth-sorted list is walked in waves of
+             128 entries on the *lane* axis: alpha for PIX pixels x 128
+             entries is one (PIX, 128) vector-op sequence, and the serial
+             transmittance recurrence inside a wave is closed with a 7-step
+             shift-multiply cumulative-product tree along lanes. Early
+             termination is a while_loop condition on the max remaining
+             transmittance.
+
+Memory: attributes are pre-gathered (XLA gather) into depth-sorted pair order
+and stored column-major [16, P_pad] so each tile's entries are a contiguous,
+lane-aligned slice streamed HBM->VMEM with double-buffered DMA (the analogue
+of the cooperative shared-memory load in forward.cuh:17-27, but asynchronous).
+
+The backward kernel walks waves in reverse, reconstructs per-entry
+transmittance from final_T by suffix products (backward.cu:147-151), uses the
+scalar-collapsed suffix-sum S_after trick (backward.cu:161-173 — dotted with
+the incoming color cotangent so the suffix is one scalar per pixel), and
+writes per-PAIR gradients to its tile's contiguous slice — races are
+structurally impossible, and the pair->gaussian reduction is one deterministic
+XLA segment-sum outside the kernel (replacing CUDA atomicAdd scatter,
+backward.cu:214-228).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugs.ops.rasterize_tiled import (
+    ALPHA_CLAMP,
+    ALPHA_MIN,
+    RasterConfig,
+    T_THRESHOLD,
+)
+
+WAVE = 128  # entries per vector wave (lane axis)
+CHUNK = 512  # entries per DMA chunk
+ALIGN = 128  # per-tile segment alignment (lane-dim DMA offsets must be 128-aligned)
+ATTR_ROWS = 16  # padded attr rows: x, y, ca, cb, cc, opac, r, g, b, (pad)
+NUM_ATTR = 9
+
+
+def align_segments(tile_start, tile_stop, pair_gauss, p_aligned: int):
+    """Re-lay the sorted pair list so every tile's segment starts on an ALIGN
+    boundary (TPU DMA lane offsets must be 128-aligned). Gap slots are marked
+    invalid; they cost masked lanes in the kernel, not correctness.
+
+    Returns (astart [T], astop [T], aligned_gauss [p_aligned], valid [p_aligned]).
+    """
+    counts = tile_stop - tile_start
+    padded = -(-counts // ALIGN) * ALIGN
+    astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    astop = astart + counts
+
+    pos = jnp.arange(p_aligned, dtype=jnp.int32)
+    t = jnp.searchsorted(astart, pos, side="right").astype(jnp.int32) - 1
+    t = jnp.clip(t, 0, counts.shape[0] - 1)
+    local = pos - astart[t]
+    valid = (local >= 0) & (local < counts[t])
+    src = jnp.clip(tile_start[t] + local, 0, pair_gauss.shape[0] - 1)
+    aligned_gauss = jnp.where(valid, pair_gauss[src], 0)
+    return astart, astop, aligned_gauss, valid
+
+
+def _lane_shift_right_fill(m, s, fill):
+    """Col j <- col j-s; left s cols <- fill (prefix scans along lanes)."""
+    rolled = pltpu.roll(m, s, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    return jnp.where(cols >= s, rolled, fill)
+
+
+def _lane_shift_left_fill(m, s, fill):
+    """Col j <- col j+s; right s cols <- fill (suffix scans along lanes)."""
+    rolled = pltpu.roll(m, m.shape[1] - s, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    return jnp.where(cols < m.shape[1] - s, rolled, fill)
+
+
+def _prefix_prod_excl(m):
+    """Exclusive cumulative product along lanes (7-step tree for 128)."""
+    s = 1
+    while s < m.shape[1]:
+        m = m * _lane_shift_right_fill(m, s, 1.0)
+        s *= 2
+    return _lane_shift_right_fill(m, 1, 1.0)
+
+
+def _suffix_prod_incl(m):
+    """Inclusive suffix product along lanes: out[j] = prod_{k>=j} m[k]."""
+    s = 1
+    while s < m.shape[1]:
+        m = m * _lane_shift_left_fill(m, s, 1.0)
+        s *= 2
+    return m
+
+
+def _suffix_sum_incl(m):
+    """Inclusive suffix sum along lanes: out[j] = sum_{k>=j} m[k]."""
+    s = 1
+    while s < m.shape[1]:
+        m = m + _lane_shift_left_fill(m, s, 0.0)
+        s *= 2
+    return m
+
+
+def _pixel_coords(cfg: RasterConfig, t):
+    """Per-tile pixel coordinates on the sublane axis: two (PIX, 1) floats."""
+    tx = t % cfg.ntx
+    ty = t // cfg.ntx
+    i = jax.lax.broadcasted_iota(jnp.int32, (cfg.pix, 1), 0)
+    px = (tx * cfg.tile_w + i % cfg.tile_w).astype(jnp.float32)
+    py = (ty * cfg.tile_h + i // cfg.tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _wave_alpha(attr_w, px, py, base_idx, num):
+    """Evaluate WAVE entries (lanes) against PIX pixels (sublanes).
+
+    attr_w [ATTR_ROWS, WAVE]; px/py [PIX, 1]. Returns (PIX, WAVE) tensors and
+    the per-entry row vectors."""
+    x = attr_w[0:1, :]  # (1, WAVE)
+    y = attr_w[1:2, :]
+    ca = attr_w[2:3, :]
+    cb = attr_w[3:4, :]
+    cc = attr_w[4:5, :]
+    op = attr_w[5:6, :]
+
+    dx = px - x  # (PIX, WAVE)
+    dy = py - y
+    power = (-0.5 * ca) * (dx * dx) + (-0.5 * cc) * (dy * dy) - cb * (dx * dy)
+    gauss = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = op * gauss
+    alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
+    kidx = base_idx + cols
+    passes = (kidx < num) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return dx, dy, gauss, alpha_raw, alpha, passes, kidx
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cfg: RasterConfig,
+                tile_start_ref, tile_stop_ref,  # scalar prefetch [T]
+                attr_hbm,  # [ATTR_ROWS, P_pad] ANY
+                cr_ref, cg_ref, cb_ref, t_ref, nc_ref, kl_ref,  # (PIX, 1) outs
+                chunk_buf, sems):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    stop = tile_stop_ref[t]
+    num = stop - start
+    px, py = _pixel_coords(cfg, t)
+
+    n_chunks = pl.cdiv(num, CHUNK)
+
+    def dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK)],
+            chunk_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(carry):
+        chunk_idx, T, Cr, Cg, Cb, nc, kl = carry
+        return (chunk_idx < n_chunks) & (jnp.max(T) >= T_THRESHOLD)
+
+    def body(carry):
+        chunk_idx, T, Cr, Cg, Cb, nc, kl = carry
+        slot = chunk_idx % 2
+
+        @pl.when(chunk_idx + 1 < n_chunks)
+        def _():
+            dma(1 - slot, chunk_idx + 1).start()
+
+        dma(slot, chunk_idx).wait()
+
+        def wave_body(w, wcarry):
+            T, Cr, Cg, Cb, nc, kl = wcarry
+            base = w * WAVE
+            attr_w = chunk_buf[slot, :, pl.ds(base, WAVE)]  # (ATTR_ROWS, WAVE)
+            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
+                attr_w, px, py, chunk_idx * CHUNK + base, num
+            )
+            a_eff = jnp.where(passes, alpha, 0.0)
+            excl = _prefix_prod_excl(1.0 - a_eff)  # (PIX, WAVE)
+
+            T_before = T * excl
+            gate = T_before >= T_THRESHOLD
+            w_px = jnp.where(gate, a_eff * T_before, 0.0)
+
+            r_w = attr_w[6:7, :]  # (1, WAVE)
+            g_w = attr_w[7:8, :]
+            b_w = attr_w[8:9, :]
+            Cr = Cr + jnp.sum(w_px * r_w, axis=1, keepdims=True)
+            Cg = Cg + jnp.sum(w_px * g_w, axis=1, keepdims=True)
+            Cb = Cb + jnp.sum(w_px * b_w, axis=1, keepdims=True)
+
+            a_gated = jnp.where(gate, a_eff, 0.0)
+            total = _suffix_prod_incl(1.0 - a_gated)[:, 0:1]
+            T = T * total
+            contrib = a_gated > 0.0
+            nc = nc + jnp.sum(contrib.astype(jnp.int32), axis=1, keepdims=True)
+            kl = jnp.maximum(
+                kl, jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True)
+            )
+            return T, Cr, Cg, Cb, nc, kl
+
+        out = jax.lax.fori_loop(0, CHUNK // WAVE, wave_body, (T, Cr, Cg, Cb, nc, kl))
+        return (chunk_idx + 1,) + out
+
+    pix = cfg.pix
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((pix, 1), jnp.float32),
+        jnp.zeros((pix, 1), jnp.float32),
+        jnp.zeros((pix, 1), jnp.float32),
+        jnp.zeros((pix, 1), jnp.float32),
+        jnp.zeros((pix, 1), jnp.int32),
+        jnp.full((pix, 1), -1, jnp.int32),
+    )
+    chunk_idx, T, Cr, Cg, Cb, nc, kl = jax.lax.while_loop(cond, body, init)
+
+    # If early-exited, the already-started DMA must still be awaited so the
+    # semaphore stays balanced.
+    @pl.when(chunk_idx < n_chunks)
+    def _():
+        dma(chunk_idx % 2, chunk_idx).wait()
+
+    cr_ref[...] = Cr
+    cg_ref[...] = Cg
+    cb_ref[...] = Cb
+    t_ref[...] = T
+    nc_ref[...] = nc
+    kl_ref[...] = kl
+
+
+def pack_sorted_attrs(pair_gauss, means2d, conic, rgb, opac, p_pad: int):
+    """Gather per-pair attributes in sorted order -> [ATTR_ROWS, P_pad].
+
+    XLA gather outside the kernel: after the (tile, depth) sort each tile's
+    entries are contiguous, turning kernel access into sequential lane-aligned
+    DMA."""
+    attr = jnp.concatenate(
+        [means2d, conic, opac[:, None], rgb], axis=1
+    )  # [N, 9]: x y ca cb cc opac r g b
+    gathered = attr[pair_gauss]  # [P, 9]
+    out = jnp.pad(
+        gathered, ((0, p_pad - gathered.shape[0]), (0, ATTR_ROWS - NUM_ATTR))
+    )
+    return out.T  # [ATTR_ROWS, P_pad]
+
+
+def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
+                             interpret: bool = False):
+    """Run the forward kernel. sorted_attr [ATTR_ROWS, P_pad].
+
+    Returns (color [T, PIX, 3] pre-background, final_T [T, PIX],
+    n_contrib [T, PIX], k_last [T, PIX])."""
+    num_tiles, pix = cfg.num_tiles, cfg.pix
+
+    tile_block = pl.BlockSpec(
+        (None, pix, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[tile_block] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.float32),  # Cr
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.float32),  # Cg
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.float32),  # Cb
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.float32),  # T
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.int32),  # n_contrib
+        jax.ShapeDtypeStruct((num_tiles, pix, 1), jnp.int32),  # k_last
+    ]
+    cr, cg, cb, t, nc, kl = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_start, tile_stop, sorted_attr)
+    color = jnp.concatenate([cr, cg, cb], axis=-1)  # [T, PIX, 3]
+    return color, t[..., 0], nc[..., 0], kl[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(cfg: RasterConfig,
+                tile_start_ref, tile_stop_ref,  # scalar prefetch [T]
+                attr_hbm,  # [ATTR_ROWS, P_pad] ANY
+                dcr_ref, dcg_ref, dcb_ref,  # (PIX, 1) incoming color cotangent
+                r0_ref,  # (PIX, 1) scalar suffix init (bg + d_finalT terms)
+                ft_ref,  # (PIX, 1) final transmittance
+                kl_ref,  # (PIX, 1) last contributor index
+                dattr_hbm,  # out [ATTR_ROWS, P_pad] ANY
+                in_buf, out_buf, in_sems, out_sems):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    stop = tile_stop_ref[t]
+    num = stop - start
+    px, py = _pixel_coords(cfg, t)
+
+    dcr = dcr_ref[...]  # (PIX, 1)
+    dcg = dcg_ref[...]
+    dcb = dcb_ref[...]
+    kl = kl_ref[...]
+    max_kl = jnp.max(kl)
+
+    n_chunks = pl.cdiv(num, CHUNK)
+
+    def dma_in(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK)],
+            in_buf.at[slot],
+            in_sems.at[slot],
+        )
+
+    def dma_out(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            out_buf.at[slot],
+            dattr_hbm.at[:, pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK)],
+            out_sems.at[slot],
+        )
+
+    # Reverse chunk order: chunk c = n_chunks - 1 - i.
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, n_chunks - 1).start()
+
+    def chunk_body(i, carry):
+        T_run, R = carry
+        c = n_chunks - 1 - i
+        slot = i % 2
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma_in(1 - slot, c - 1).start()
+
+        dma_in(slot, c).wait()
+        # The out-buffer slot is reused every 2 chunks; its previous DMA must
+        # have drained before it is overwritten.
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, c + 2).wait()
+
+        chunk_active = (c * CHUNK) <= max_kl
+
+        def wave_grads(w_rev, wcarry):
+            T_run, R = wcarry
+            w = (CHUNK // WAVE) - 1 - w_rev
+            base = w * WAVE
+            attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
+            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
+                attr_w, px, py, c * CHUNK + base, num
+            )
+            contrib = passes & (kidx <= kl)
+            a_g = jnp.where(contrib, alpha, 0.0)
+            om = jnp.maximum(1.0 - a_g, 1e-5)
+
+            sp = _suffix_prod_incl(om)  # sp[j] = prod_{k>=j} om_k
+            T_before = T_run / sp  # (PIX, WAVE)
+
+            r_w = attr_w[6:7, :]
+            g_w = attr_w[7:8, :]
+            b_w = attr_w[8:9, :]
+            dCdot = dcr * r_w + dcg * g_w + dcb * b_w  # (PIX, WAVE)
+            w_px = a_g * T_before
+            contribX = w_px * dCdot
+
+            s_incl = _suffix_sum_incl(contribX)
+            s_excl = _lane_shift_left_fill(s_incl, 1, 0.0)
+
+            g_alpha = jnp.where(
+                contrib, T_before * dCdot - (s_excl + R) / om, 0.0
+            )
+            clamp_ok = (alpha_raw < ALPHA_CLAMP).astype(jnp.float32)
+            g_op_px = g_alpha * gauss * clamp_ok
+            g_pow = g_alpha * alpha * clamp_ok
+
+            ca = attr_w[2:3, :]
+            cb_w = attr_w[3:4, :]
+            cc = attr_w[4:5, :]
+            g_dx = g_pow * (-(ca * dx + cb_w * dy))
+            g_dy = g_pow * (-(cb_w * dx + cc * dy))
+
+            def csum(x):
+                return jnp.sum(x, axis=0, keepdims=True)  # (1, WAVE)
+
+            grad_w = jnp.concatenate(
+                [
+                    -csum(g_dx),  # d mean_x
+                    -csum(g_dy),  # d mean_y
+                    csum(g_pow * (-0.5 * dx * dx)),  # d conic_a
+                    csum(g_pow * (-dx * dy)),  # d conic_b
+                    csum(g_pow * (-0.5 * dy * dy)),  # d conic_c
+                    csum(g_op_px),  # d opac
+                    csum(w_px * dcr),  # d r
+                    csum(w_px * dcg),  # d g
+                    csum(w_px * dcb),  # d b
+                    jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32),
+                ],
+                axis=0,
+            )  # (ATTR_ROWS, WAVE)
+            out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
+
+            R = R + s_incl[:, 0:1]
+            T_run = T_run / sp[:, 0:1]
+            return T_run, R
+
+        def active(carry):
+            return jax.lax.fori_loop(0, CHUNK // WAVE, wave_grads, carry)
+
+        def inactive(carry):
+            out_buf[slot, :, :] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+            return carry
+
+        T_run, R = jax.lax.cond(chunk_active, active, inactive, (T_run, R))
+        dma_out(slot, c).start()
+        return T_run, R
+
+    T0 = ft_ref[...]
+    R0 = r0_ref[...]
+    jax.lax.fori_loop(0, n_chunks, chunk_body, (T0, R0))
+
+    # Drain outstanding out-DMAs so the next (sequential) grid step cannot
+    # overwrite rows this step still has in flight.
+    @pl.when(n_chunks >= 2)
+    def _():
+        dma_out((n_chunks - 2) % 2, 1).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        dma_out((n_chunks - 1) % 2, 0).wait()
+
+
+def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
+                              d_color_t, r0, final_t, k_last,
+                              interpret: bool = False):
+    """Run the backward kernel. d_color_t [T, PIX, 3]; returns per-pair
+    gradient rows [ATTR_ROWS, P_pad] (columns past each tile's range zero)."""
+    num_tiles, pix = cfg.num_tiles, cfg.pix
+    p_pad = sorted_attr.shape[1]
+
+    tile_block = pl.BlockSpec(
+        (None, pix, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # attrs
+            tile_block,  # dcr
+            tile_block,  # dcg
+            tile_block,  # dcb
+            tile_block,  # r0
+            tile_block,  # final_T
+            tile_block,  # k_last
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    exp = lambda a: a[..., None]  # [T, PIX] -> [T, PIX, 1]
+    (d_attr,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ATTR_ROWS, p_pad), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        tile_start, tile_stop, sorted_attr,
+        exp(d_color_t[..., 0]), exp(d_color_t[..., 1]), exp(d_color_t[..., 2]),
+        exp(r0), exp(final_t), exp(k_last),
+    )
+    return d_attr
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper — drop-in replacement for rasterize_tiled.composite_tiles
+# ---------------------------------------------------------------------------
+
+
+def _p_aligned(cfg: RasterConfig) -> int:
+    """Aligned pair-list capacity: worst case adds ALIGN-1 pad per tile."""
+    raw = cfg.pair_capacity + cfg.num_tiles * ALIGN
+    return -(-raw // CHUNK) * CHUNK + CHUNK
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_tiles_pallas(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
+                           means2d, conic, rgb, opac, background):
+    """Pallas compositor with the same contract as composite_tiles:
+    returns (color [T,PIX,3] incl. background blend, final_T, n_contrib)."""
+    out, _ = _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss,
+                         means2d, conic, rgb, opac, background)
+    return out
+
+
+def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
+                background):
+    p_aligned = _p_aligned(cfg)
+    astart, astop, aligned_gauss, avalid = align_segments(
+        tile_start, tile_stop, pair_gauss, p_aligned
+    )
+    attr = pack_sorted_attrs(aligned_gauss, means2d, conic, rgb, opac, p_aligned)
+    color, t, nc, kl = composite_forward_pallas(
+        cfg, astart, astop, attr, interpret=_interpret()
+    )
+    color = color + t[..., None] * background[None, None, :]
+    res = (astart, astop, aligned_gauss, avalid, attr, t, kl, background,
+           means2d.shape[0])
+    return (color, t, nc), res
+
+
+def _pallas_bwd(cfg, res, cot):
+    astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n = res
+    d_color, d_finalT, _d_nc = cot
+
+    dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
+    r0 = (dc_dot_bg + d_finalT) * final_t
+
+    d_attr = composite_backward_pallas(
+        cfg, astart, astop, attr, d_color, r0, final_t, kl,
+        interpret=_interpret(),
+    )[:NUM_ATTR, :].T  # [P_aligned, 9]
+
+    # Pair -> gaussian reduction (deterministic XLA scatter-add). Alignment
+    # gaps and columns past the last tile's range are masked out.
+    valid = avalid & (jnp.arange(d_attr.shape[0]) < astop[-1])
+    rows = jnp.where(valid[:, None], d_attr, 0.0)
+    safe_g = jnp.where(valid, aligned_gauss, 0)
+    acc = jnp.zeros((n, NUM_ATTR), jnp.float32).at[safe_g].add(rows)
+
+    d_means2d = acc[:, 0:2]
+    d_conic = acc[:, 2:5]
+    d_opac = acc[:, 5]
+    d_rgb = acc[:, 6:9]
+    d_bg = jnp.einsum("tpc,tp->c", d_color, final_t)
+
+    # float0 cotangents shaped like the *primal* int inputs.
+    return (
+        np.zeros(astart.shape, jax.dtypes.float0),  # tile_start
+        np.zeros(astop.shape, jax.dtypes.float0),  # tile_stop
+        np.zeros((cfg.pair_capacity,), jax.dtypes.float0),  # pair_gauss
+        d_means2d,
+        d_conic,
+        d_rgb,
+        d_opac,
+        d_bg,
+    )
+
+
+composite_tiles_pallas.defvjp(_pallas_fwd, _pallas_bwd)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -52,8 +53,11 @@ def render(
     background: jnp.ndarray,
     scale_modifier: float = 1.0,
     means2d_probe: Optional[jnp.ndarray] = None,
+    compositor: str = "auto",
 ) -> RenderOutput:
-    """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier."""
+    """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
+    compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
+    TPU and the lax.scan reference path elsewhere."""
     proj = project_gaussians(
         means, quats, log_scales, opacity_logits, sh, alive,
         viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree, scale_modifier,
@@ -66,7 +70,16 @@ def render(
         proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
     )
 
-    color_t, t_t, nc_t = composite_tiles(
+    if compositor == "auto":
+        compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if compositor == "pallas":
+        from tpugs.ops.pallas.composite import composite_tiles_pallas
+
+        composite_fn = composite_tiles_pallas
+    else:
+        composite_fn = composite_tiles
+
+    color_t, t_t, nc_t = composite_fn(
         cfg,
         binning.tile_start,
         binning.tile_stop,

@@ -187,9 +187,10 @@ class Trainer:
     logging, and checkpoints (reference: Trainer, trainer.cpp:52-375)."""
 
     def __init__(self, data_dir: str, config: TrainConfig = TrainConfig(),
-                 log_fn=print):
+                 log_fn=print, resume_from: Optional[str] = None):
         self.cfg = config
         self.log = log_fn
+        self.start_step = 0
         self.dataset = Dataset(data_dir, config.resolution_scale)
         if self.dataset.num_train() == 0:
             raise ValueError("no training cameras")
@@ -217,6 +218,12 @@ class Trainer:
             adc=adc_init(capacity),
             key=jax.random.PRNGKey(config.seed),
         )
+
+        if resume_from is not None:
+            from tpugs.io.checkpoint import load_train_checkpoint
+
+            self.state, self.start_step = load_train_checkpoint(resume_from)
+            self.log(f"resumed from {resume_from} at step {self.start_step}")
 
         self._train_step = make_train_step(config, self.raster, self.scene_extent)
         self._densify = make_densify_step(config, self.scene_extent)
@@ -256,7 +263,7 @@ class Trainer:
         t0 = time.perf_counter()
         window_start = t0
         history = []
-        for step in range(iters):
+        for step in range(self.start_step, iters):
             vi = int(self._rng.integers(0, self.dataset.num_train()))
             sh_deg = active_sh_degree_for_step(step, cfg.sh_degree)
             self.state, stats = self._train_step(
@@ -315,13 +322,21 @@ class Trainer:
             opacity_logits=p["opacity_logits"], sh=p["sh"], alive=self.state.alive,
         )
 
-    def save_checkpoint(self, step: int):
-        """PLY export (interop) — reference: trainer.cpp:318-328."""
+    def save_checkpoint(self, step: int, full: bool = True):
+        """PLY export (interop, reference: trainer.cpp:318-328) + full resume
+        checkpoint (params + optimizer + accumulators + RNG + step)."""
         path = os.path.join(self.cfg.output_dir, f"model_{step:07d}.ply")
         arrs = self.gaussian_state().compact_arrays()
         write_gaussian_ply(
             path, arrs["means"], arrs["sh"], arrs["opacity_logits"],
             arrs["log_scales"], arrs["quats"],
         )
+        if full:
+            from tpugs.io.checkpoint import save_train_checkpoint
+
+            save_train_checkpoint(
+                os.path.join(self.cfg.output_dir, f"ckpt_{step:07d}.npz"),
+                self.state, step,
+            )
         self.log(f"[{step}] checkpoint -> {path}")
         return path
