@@ -95,24 +95,40 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = offsets[-1] + counts[-1]
 
-    # Slot -> owning gaussian: largest g with offsets[g] <= slot. Duplicated
-    # offsets (zero-count gaussians) resolve to the last duplicate, which is
-    # the one with a nonzero count.
+    # Slot -> owning gaussian: largest g with offsets[g] <= slot, computed as
+    # cumsum(histogram of offsets) - 1. (A vectorized searchsorted here costs
+    # ~35x more on TPU — log2(N) rounds of 1M-wide random gathers — while the
+    # scatter-add + prefix sum is two linear passes.) Duplicated offsets
+    # (zero-count gaussians) resolve to the last duplicate, which is the one
+    # with a nonzero count; offsets past capacity drop out of the scatter.
     slots = jnp.arange(pair_capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, counts.shape[0] - 1)
+    ind = jnp.zeros((pair_capacity,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.clip(jnp.cumsum(ind) - 1, 0, counts.shape[0] - 1)
     in_range = slots < jnp.minimum(total, pair_capacity)
 
-    local = slots - offsets[g]
-    w_g = jnp.maximum(w_tiles[g], 1)
-    tx = tx0[g] + local % w_g
-    ty = ty0[g] + local // w_g
+    # One packed row-gather instead of five column gathers (row gathers cost
+    # barely more than one column on TPU). Integer fields are exact in f32
+    # (all < 2^24).
+    f32 = jnp.float32
+    table = jnp.stack(
+        [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
+         w_tiles.astype(f32), proj.depths],
+        axis=1,
+    )  # [N, 5]
+    rows = table[g]
+    off_g = rows[:, 0].astype(jnp.int32)
+    tx0_g = rows[:, 1].astype(jnp.int32)
+    ty0_g = rows[:, 2].astype(jnp.int32)
+    w_g = jnp.maximum(rows[:, 3].astype(jnp.int32), 1)
+
+    local = slots - off_g
+    tx = tx0_g + local % w_g
+    ty = ty0_g + local // w_g
     tile_id = (ty * ntx + tx).astype(jnp.int32)
 
-    depth = proj.depths[g]
     # Invalid slots: sentinel tile sorts to the back.
     tile_id = jnp.where(in_range, tile_id, num_tiles)
-    depth = jnp.where(in_range, depth, jnp.inf)
+    depth = jnp.where(in_range, rows[:, 4], jnp.inf)
 
     sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
         (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True

