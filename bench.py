@@ -25,9 +25,11 @@ def main():
 
     img_w, img_h = 489, 272  # the reference benchmark resolution (Truck r=4)
     n = 50_000
+    # pair capacity sized to the scene (~377k actual pairs; all pair-list ops
+    # scale with capacity, not occupancy — docs/PERF_NOTES.md).
     cfg = RasterConfig(
         img_h=img_h, img_w=img_w, tile_h=16, tile_w=16,
-        pair_capacity=1 << 20, max_hits_per_tile=1024,
+        pair_capacity=1 << 19, max_hits_per_tile=1024,
     )
     params = synthetic_params(n, seed=0)
     alive = jnp.ones((n,), bool)
@@ -39,7 +41,9 @@ def main():
     rng = jax.random.PRNGKey(0)
     target = jax.random.uniform(rng, (img_h, img_w, 3))
 
-    @jax.jit
+    # NOTE: deliberately NOT @jax.jit — a nested jit inside lax.scan becomes a
+    # closed_call the runtime dispatches per iteration (~40x slowdown here);
+    # only the outer run_k is jitted.
     def train_step(params, adam_state, step):
         def loss_fn(p):
             out = render(
@@ -77,7 +81,10 @@ def main():
     rounds = 3
     t0 = time.perf_counter()
     for r in range(rounds):
-        params, adam_state, loss = run_k(params, adam_state, jnp.asarray(float(K * (r + 1))))
+        # NB: explicit dtype — a weak-typed scalar here would retrace run_k
+        # and put a recompile inside the measured region.
+        step0 = jnp.asarray(K * (r + 1), jnp.float32)
+        params, adam_state, loss = run_k(params, adam_state, step0)
         float(loss)
     dt = time.perf_counter() - t0
 

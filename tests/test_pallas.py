@@ -15,6 +15,8 @@ W, H = 64, 48
 INTR = jnp.array([40.0, 40.0, W / 2, H / 2], jnp.float32)
 CFG = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
                    pair_capacity=4096, max_hits_per_tile=256)
+CFG32 = RasterConfig(img_h=H, img_w=W, tile_h=32, tile_w=32,
+                     pair_capacity=4096, max_hits_per_tile=256)
 BG = jnp.array([0.2, 0.3, 0.4])
 
 
@@ -34,13 +36,13 @@ def make_params(n=60, seed=0, opac=(-1.0, 5.0)):
     )
 
 
-def run(params, comp, alive=None):
+def run(params, comp, alive=None, cfg=CFG):
     n = params["means"].shape[0]
     alive = jnp.ones((n,), bool) if alive is None else alive
     return render(
         params["means"], params["quats"], params["log_scales"],
         params["opacity_logits"], params["sh"], alive,
-        jnp.eye(4), INTR, CFG, 0, BG, compositor=comp,
+        jnp.eye(4), INTR, cfg, 0, BG, compositor=comp,
     )
 
 
@@ -76,6 +78,29 @@ class TestPallasForward:
         np.testing.assert_allclose(
             np.asarray(out.color), np.tile(np.asarray(BG), (H, W, 1)), atol=1e-6
         )
+
+
+class TestPallas32x32Tiles:
+    """The tile size is a tuning knob (SURVEY.md §7 hard part #4); 32x32 maps
+    the flattened tile to (8, 128) VPU shape."""
+
+    def test_forward_and_grads_match_scan(self):
+        params = make_params(60, seed=11)
+        op = run(params, "pallas", cfg=CFG32)
+        os_ = run(params, "scan", cfg=CFG32)
+        np.testing.assert_allclose(np.asarray(op.color), np.asarray(os_.color), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(op.n_contrib), np.asarray(os_.n_contrib))
+
+        def loss(p, comp):
+            out = run(p, comp, cfg=CFG32)
+            return jnp.sum(out.color**2) + jnp.sum(out.final_T)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
 
 
 class TestPallasBackward:

@@ -50,6 +50,7 @@ from tpugs.ops.rasterize_tiled import (
 
 WAVE = 128  # entries per vector wave (lane axis)
 CHUNK = 512  # entries per DMA chunk
+_PIX_BLOCK = 512  # max pixel sublanes processed at once in the backward kernel
 ALIGN = 128  # per-tile segment alignment (lane-dim DMA offsets must be 128-aligned)
 ATTR_ROWS = 16  # padded attr rows: x, y, ca, cb, cc, opac, r, g, b, (pad)
 NUM_ATTR = 9
@@ -387,25 +388,29 @@ def _bwd_kernel(cfg: RasterConfig,
 
         chunk_active = (c * CHUNK) <= max_kl
 
-        def wave_grads(w_rev, wcarry):
-            T_run, R = wcarry
-            w = (CHUNK // WAVE) - 1 - w_rev
-            base = w * WAVE
-            attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
+        # Pixels are processed in sub-blocks of <= _PIX_BLOCK sublanes so the
+        # live (PIX, WAVE) temporaries fit scoped VMEM for large tiles
+        # (32x32 tiles with full-PIX temps exceed the ~16 MB limit).
+        pix = cfg.pix
+        n_blocks = -(-pix // _PIX_BLOCK)
+        pb = pix // n_blocks
+
+        def wave_half(attr_w, pxh, pyh, base_idx, Th, Rh, klh, dcrh, dcgh, dcbh):
+            """One pixel sub-block of one wave. Returns (T', R', grad rows)."""
             dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
-                attr_w, px, py, c * CHUNK + base, num
+                attr_w, pxh, pyh, base_idx, num
             )
-            contrib = passes & (kidx <= kl)
+            contrib = passes & (kidx <= klh)
             a_g = jnp.where(contrib, alpha, 0.0)
             om = jnp.maximum(1.0 - a_g, 1e-5)
 
             sp = _suffix_prod_incl(om)  # sp[j] = prod_{k>=j} om_k
-            T_before = T_run / sp  # (PIX, WAVE)
+            T_before = Th / sp  # (PB, WAVE)
 
             r_w = attr_w[6:7, :]
             g_w = attr_w[7:8, :]
             b_w = attr_w[8:9, :]
-            dCdot = dcr * r_w + dcg * g_w + dcb * b_w  # (PIX, WAVE)
+            dCdot = dcrh * r_w + dcgh * g_w + dcbh * b_w  # (PB, WAVE)
             w_px = a_g * T_before
             contribX = w_px * dCdot
 
@@ -413,7 +418,7 @@ def _bwd_kernel(cfg: RasterConfig,
             s_excl = _lane_shift_left_fill(s_incl, 1, 0.0)
 
             g_alpha = jnp.where(
-                contrib, T_before * dCdot - (s_excl + R) / om, 0.0
+                contrib, T_before * dCdot - (s_excl + Rh) / om, 0.0
             )
             clamp_ok = (alpha_raw < ALPHA_CLAMP).astype(jnp.float32)
             g_op_px = g_alpha * gauss * clamp_ok
@@ -428,25 +433,49 @@ def _bwd_kernel(cfg: RasterConfig,
             def csum(x):
                 return jnp.sum(x, axis=0, keepdims=True)  # (1, WAVE)
 
+            grads = (
+                -csum(g_dx),  # d mean_x
+                -csum(g_dy),  # d mean_y
+                csum(g_pow * (-0.5 * dx * dx)),  # d conic_a
+                csum(g_pow * (-dx * dy)),  # d conic_b
+                csum(g_pow * (-0.5 * dy * dy)),  # d conic_c
+                csum(g_op_px),  # d opac
+                csum(w_px * dcrh),  # d r
+                csum(w_px * dcgh),  # d g
+                csum(w_px * dcbh),  # d b
+            )
+            return Th / sp[:, 0:1], Rh + s_incl[:, 0:1], grads
+
+        def wave_grads(w_rev, wcarry):
+            T_run, R = wcarry
+            w = (CHUNK // WAVE) - 1 - w_rev
+            base = w * WAVE
+            attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
+            base_idx = c * CHUNK + base
+
+            t_parts, r_parts = [], []
+            grad_acc = None
+            for h in range(n_blocks):
+                sl = slice(h * pb, (h + 1) * pb)
+                Th, Rh, grads = wave_half(
+                    attr_w, px[sl], py[sl], base_idx,
+                    T_run[sl], R[sl], kl[sl], dcr[sl], dcg[sl], dcb[sl],
+                )
+                t_parts.append(Th)
+                r_parts.append(Rh)
+                grad_acc = grads if grad_acc is None else tuple(
+                    a + b for a, b in zip(grad_acc, grads)
+                )
+
             grad_w = jnp.concatenate(
-                [
-                    -csum(g_dx),  # d mean_x
-                    -csum(g_dy),  # d mean_y
-                    csum(g_pow * (-0.5 * dx * dx)),  # d conic_a
-                    csum(g_pow * (-dx * dy)),  # d conic_b
-                    csum(g_pow * (-0.5 * dy * dy)),  # d conic_c
-                    csum(g_op_px),  # d opac
-                    csum(w_px * dcr),  # d r
-                    csum(w_px * dcg),  # d g
-                    csum(w_px * dcb),  # d b
-                    jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32),
-                ],
+                list(grad_acc)
+                + [jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32)],
                 axis=0,
             )  # (ATTR_ROWS, WAVE)
             out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
 
-            R = R + s_incl[:, 0:1]
-            T_run = T_run / sp[:, 0:1]
+            T_run = t_parts[0] if n_blocks == 1 else jnp.concatenate(t_parts, 0)
+            R = r_parts[0] if n_blocks == 1 else jnp.concatenate(r_parts, 0)
             return T_run, R
 
         def active(carry):

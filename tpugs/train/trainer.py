@@ -62,6 +62,9 @@ class TrainConfig:
     pair_capacity: int = 1 << 21
     max_hits_per_tile: int = 2048
     output_dir: str = "output"
+    # Steps executed inside one jitted lax.scan per host call (amortizes
+    # dispatch; must divide the active schedule periods — auto-clamped).
+    steps_per_call: int = 25
 
 
 @struct.dataclass
@@ -132,6 +135,72 @@ def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float)
         return new_state, stats
 
     return jax.jit(train_step, static_argnames=("sh_degree",), donate_argnums=(0,))
+
+
+def make_train_multi_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float):
+    """K train steps inside one jitted lax.scan — one dispatch per K steps.
+
+    multi_step(state, image_bank [V,H,W,3], viewmats [V,4,4], intrinsics [V,4],
+               view_idx [K] int32, step0, sh_degree) -> (state, losses [K],
+               last StepStats)
+    """
+    mcmc_mode = cfg.densify_mode == "mcmc"
+    adc_mode = cfg.densify_mode == "adc"
+
+    def one_step(state: TrainState, image, viewmat, intrinsics, step, sh_degree):
+        key, bg_key, noise_key = jax.random.split(state.key, 3)
+        if cfg.random_background:
+            background = jax.random.uniform(bg_key, (3,))
+        else:
+            background = jnp.zeros((3,))
+        nc = state.alive.shape[0]
+        probe = jnp.zeros((nc, 2))
+
+        def loss_fn(params, probe):
+            out = render(
+                params["means"], params["quats"], params["log_scales"],
+                params["opacity_logits"], params["sh"], state.alive,
+                viewmat, intrinsics, raster, sh_degree, background,
+                means2d_probe=probe,
+            )
+            loss = combined_loss(out.color, image, cfg.lambda_ssim)
+            if mcmc_mode:
+                loss = loss + regularization(cfg.mcmc, params, state.alive)
+            return loss, out
+
+        (loss, out), (grads, d_means2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probe)
+        new_params, new_adam = adam_step(cfg.adam, state.adam, state.params, grads, step)
+        adc = state.adc
+        if adc_mode:
+            adc = adc_accumulate(adc, d_means2d, out.radii)
+        if mcmc_mode:
+            new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
+        l1 = jnp.mean(jnp.abs(out.color - image))
+        stats = StepStats(loss=loss, l1=l1, num_pairs=out.num_pairs,
+                          pair_overflow=out.pair_overflow)
+        return (
+            TrainState(params=new_params, alive=state.alive, adam=new_adam,
+                       adc=adc, key=key),
+            stats,
+        )
+
+    def multi_step(state, images, viewmats, intrinsics, view_idx, step0,
+                   sh_degree: int):
+        def body(state, inp):
+            vi, step = inp
+            state, stats = one_step(
+                state, images[vi], viewmats[vi], intrinsics[vi], step, sh_degree
+            )
+            return state, stats
+
+        steps = step0 + jnp.arange(view_idx.shape[0], dtype=jnp.float32)
+        state, stats = jax.lax.scan(body, state, (view_idx, steps))
+        last = jax.tree.map(lambda x: x[-1], stats)
+        return state, stats.loss, last
+
+    return jax.jit(multi_step, static_argnames=("sh_degree",), donate_argnums=(0,))
 
 
 def make_densify_step(cfg: TrainConfig, scene_extent: float):
@@ -226,6 +295,7 @@ class Trainer:
             self.log(f"resumed from {resume_from} at step {self.start_step}")
 
         self._train_step = make_train_step(config, self.raster, self.scene_extent)
+        self._multi_step = make_train_multi_step(config, self.raster, self.scene_extent)
         self._densify = make_densify_step(config, self.scene_extent)
         self._relocate = make_relocate_step(config, self.scene_extent)
 
@@ -263,57 +333,133 @@ class Trainer:
         t0 = time.perf_counter()
         window_start = t0
         history = []
-        for step in range(self.start_step, iters):
-            vi = int(self._rng.integers(0, self.dataset.num_train()))
+        k_max = self._effective_steps_per_call()
+
+        step = self.start_step
+        while step < iters:
+            # Block length: aligned to K, never crossing an SH-degree boundary.
+            k_blk = k_max - (step % k_max) if step % k_max else k_max
+            k_blk = min(k_blk, iters - step, 1000 - step % 1000)
+            vi = self._rng.integers(0, self.dataset.num_train(), size=k_blk)
             sh_deg = active_sh_degree_for_step(step, cfg.sh_degree)
-            self.state, stats = self._train_step(
-                self.state, images[vi], self._viewmats[vi], self._intrinsics[vi],
-                jnp.asarray(step, jnp.float32), sh_deg,
+            self.state, losses, stats = self._multi_step(
+                self.state, images, self._viewmats, self._intrinsics,
+                jnp.asarray(vi, jnp.int32), jnp.asarray(step, jnp.float32),
+                sh_deg,
             )
+            prev, step = step, step + k_blk
 
-            if cfg.densify_mode == "adc":
-                if cfg.adc.should_reset_opacity(step):
-                    self.state = _reset_opacity_step(self.state)
-                    self.log(f"[{step}] opacity reset")
-                if cfg.adc.should_densify(step):
-                    self.state, dstats = self._densify(
-                        self.state,
-                        size_pruning_active=step > cfg.adc.opacity_reset_every,
-                    )
+            # Host-side events for every step covered by the block. With K
+            # dividing all schedule periods at most one event of each kind
+            # fires per block, delayed by < K steps relative to the reference
+            # per-step schedule.
+            for s in range(prev, step):
+                if cfg.densify_mode == "adc":
+                    if cfg.adc.should_reset_opacity(s):
+                        self.state = _reset_opacity_step(self.state)
+                        self.log(f"[{s}] opacity reset")
+                    if cfg.adc.should_densify(s):
+                        self.state, dstats = self._densify(
+                            self.state,
+                            size_pruning_active=s > cfg.adc.opacity_reset_every,
+                        )
+                        self.log(
+                            f"[{s}] densify: +{int(dstats['num_cloned'])} cloned, "
+                            f"+{int(dstats['num_split'])} split, "
+                            f"-{int(dstats['num_pruned'])} pruned, "
+                            f"N={int(dstats['num_after'])}"
+                        )
+                elif cfg.densify_mode == "mcmc":
+                    if cfg.mcmc.should_relocate(s):
+                        self.state, rstats = self._relocate(self.state)
+                        self.log(
+                            f"[{s}] mcmc relocate: {int(rstats['num_relocated'])} "
+                            f"of {int(rstats['num_dead'])} dead "
+                            f"(N={int(rstats['num_total'])})"
+                        )
+
+                if cfg.log_every > 0 and s % cfg.log_every == 0:
+                    loss = float(losses[s - prev])
+                    now = time.perf_counter()
+                    its = cfg.log_every / max(now - window_start, 1e-9) if s else 0.0
+                    window_start = now
+                    n_alive = int(jnp.sum(self.state.alive))
                     self.log(
-                        f"[{step}] densify: +{int(dstats['num_cloned'])} cloned, "
-                        f"+{int(dstats['num_split'])} split, "
-                        f"-{int(dstats['num_pruned'])} pruned, "
-                        f"N={int(dstats['num_after'])}"
+                        f"[{s}] loss={loss:.4f} l1={float(stats.l1):.4f} "
+                        f"N={n_alive} sh={sh_deg} pairs={int(stats.num_pairs)} "
+                        f"{'OVERFLOW ' if bool(stats.pair_overflow) else ''}"
+                        f"{its:.2f} it/s"
                     )
-            elif cfg.densify_mode == "mcmc":
-                if cfg.mcmc.should_relocate(step):
-                    self.state, rstats = self._relocate(self.state)
+                    history.append({"step": s, "loss": loss})
+
+                if cfg.save_every > 0 and s > 0 and s % cfg.save_every == 0:
+                    self.save_checkpoint(s)
+                if cfg.eval_every > 0 and s > 0 and s % cfg.eval_every == 0:
+                    res = self.evaluate()
                     self.log(
-                        f"[{step}] mcmc relocate: {int(rstats['num_relocated'])} of "
-                        f"{int(rstats['num_dead'])} dead (N={int(rstats['num_total'])})"
+                        f"[{s}] eval: PSNR {res.mean_psnr:.2f} dB  "
+                        f"SSIM {res.mean_ssim:.4f} ({len(res.images)} views)"
                     )
-
-            if cfg.log_every > 0 and step % cfg.log_every == 0:
-                loss = float(stats.loss)
-                now = time.perf_counter()
-                its = cfg.log_every / max(now - window_start, 1e-9) if step else 0.0
-                window_start = now
-                n_alive = int(jnp.sum(self.state.alive))
-                self.log(
-                    f"[{step}] loss={loss:.4f} l1={float(stats.l1):.4f} "
-                    f"N={n_alive} sh={sh_deg} pairs={int(stats.num_pairs)} "
-                    f"{'OVERFLOW ' if bool(stats.pair_overflow) else ''}{its:.2f} it/s"
-                )
-                history.append({"step": step, "loss": loss})
-
-            if cfg.save_every > 0 and step > 0 and step % cfg.save_every == 0:
-                self.save_checkpoint(step)
 
         self.save_checkpoint(iters)
         total = time.perf_counter() - t0
-        self.log(f"trained {iters} iters in {total:.1f}s ({iters / total:.2f} it/s)")
+        done = iters - self.start_step
+        self.log(f"trained {done} iters in {total:.1f}s ({done / max(total, 1e-9):.2f} it/s)")
         return history
+
+    def _effective_steps_per_call(self) -> int:
+        """Largest K <= cfg.steps_per_call dividing every active schedule
+        period (so events land on block boundaries)."""
+        import math
+
+        cfg = self.cfg
+        periods = [1000]  # SH degree schedule
+        for p in (cfg.log_every, cfg.save_every, cfg.eval_every):
+            if p > 0:
+                periods.append(p)
+        if cfg.densify_mode == "adc":
+            periods += [cfg.adc.densify_every, max(cfg.adc.densify_from, 1)]
+            if cfg.adc.opacity_reset_every > 0:
+                periods.append(cfg.adc.opacity_reset_every)
+        elif cfg.densify_mode == "mcmc":
+            periods += [cfg.mcmc.relocate_every, max(cfg.mcmc.relocate_from, 1)]
+        g = 0
+        for p in periods:
+            g = math.gcd(g, p)
+        k = max(1, min(self.cfg.steps_per_call, g))
+        while g % k:
+            k -= 1
+        return max(k, 1)
+
+    def evaluate(self):
+        """PSNR/SSIM over the dataset's test views with the current model
+        (reference: evaluate(), metrics.cpp:93-163)."""
+        from tpugs.train.metrics import evaluate_views
+
+        p = self.state.params
+        alive = self.state.alive
+
+        @jax.jit
+        def render_view(viewmat, intr):
+            out = render(
+                p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
+                p["sh"], alive, viewmat, intr, self.raster, self.cfg.sh_degree,
+                jnp.zeros((3,)),
+            )
+            return out.color
+
+        views = []
+        for i, cam in enumerate(self.dataset.test_cameras):
+            target = self.dataset.load_test_image(i)
+            views.append((
+                cam.image_name, target,
+                (jnp.asarray(cam.world_to_camera(), jnp.float32),
+                 jnp.asarray(cam.intrinsics_array())),
+            ))
+        return evaluate_views(
+            lambda a: render_view(*a), views,
+            num_gaussians=int(jnp.sum(alive)),
+        )
 
     def gaussian_state(self) -> GaussianState:
         p = self.state.params
