@@ -65,8 +65,12 @@ def ssim(rendered: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> j
     mu_x = _depthwise_blur(x, window_size)
     mu_y = _depthwise_blur(y, window_size)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_x2 = _depthwise_blur(x * x, window_size) - mu_x2
-    sigma_y2 = _depthwise_blur(y * y, window_size) - mu_y2
+    # Variances clamped at 0: on flat patches the E[x^2]-mu^2 estimate can go
+    # slightly negative in f32, which can blow up the SSIM ratio (observed as
+    # a transient negative training loss). Wang et al. variances are >= 0 by
+    # definition; the clamp only removes float error.
+    sigma_x2 = jnp.maximum(_depthwise_blur(x * x, window_size) - mu_x2, 0.0)
+    sigma_y2 = jnp.maximum(_depthwise_blur(y * y, window_size) - mu_y2, 0.0)
     sigma_xy = _depthwise_blur(x * y, window_size) - mu_xy
 
     c1, c2 = 0.01**2, 0.03**2

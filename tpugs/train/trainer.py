@@ -65,6 +65,12 @@ class TrainConfig:
     # Steps executed inside one jitted lax.scan per host call (amortizes
     # dispatch; must divide the active schedule periods — auto-clamped).
     steps_per_call: int = 25
+    # When True, pair_capacity is auto-sized from the initial scene: every
+    # pair-list op costs ~10 ms per 2^20 capacity (docs/PERF_NOTES.md), so a
+    # right-sized capacity is a first-order perf knob. Densification growth is
+    # covered by the headroom factor; overflow is reported in the train log.
+    auto_pair_capacity: bool = True
+    pair_capacity_headroom: float = 8.0
 
 
 @struct.dataclass
@@ -266,18 +272,22 @@ class Trainer:
         self.scene_extent = self.dataset.scene_bounds.extent
 
         cam0 = self.dataset.train_cameras[0]
-        self.raster = RasterConfig(
-            img_h=cam0.height, img_w=cam0.width,
-            tile_h=config.tile_h, tile_w=config.tile_w,
-            pair_capacity=config.pair_capacity,
-            max_hits_per_tile=config.max_hits_per_tile,
-        )
 
         n_points = self.dataset.points_xyz.shape[0]
         capacity = max(config.capacity, 1 << int(np.ceil(np.log2(max(n_points, 1)))))
         gs = init_from_sfm(
             self.dataset.points_xyz, self.dataset.points_rgb,
             capacity=capacity, max_sh_degree=config.sh_degree,
+        )
+
+        pair_capacity = config.pair_capacity
+        if config.auto_pair_capacity:
+            pair_capacity = self._auto_pair_capacity(gs, cam0, config)
+        self.raster = RasterConfig(
+            img_h=cam0.height, img_w=cam0.width,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            pair_capacity=pair_capacity,
+            max_hits_per_tile=config.max_hits_per_tile,
         )
         params = gs.params()
         self.state = TrainState(
@@ -406,6 +416,41 @@ class Trainer:
         done = iters - self.start_step
         self.log(f"trained {done} iters in {total:.1f}s ({done / max(total, 1e-9):.2f} it/s)")
         return history
+
+    def _auto_pair_capacity(self, gs, cam0, config) -> int:
+        """Size the pair list from the initial scene's actual pair count over
+        a few views, with headroom for densification growth."""
+        from tpugs.ops.binning import tile_rects
+        from tpugs.ops.projection import project_gaussians
+
+        @jax.jit
+        def count_pairs(viewmat, intr):
+            proj = project_gaussians(
+                gs.means, gs.quats, gs.log_scales, gs.opacity_logits, gs.sh,
+                gs.alive, viewmat, intr, cam0.width, cam0.height, 0,
+            )
+            _, _, w, h = tile_rects(
+                proj, cam0.width, cam0.height, config.tile_h, config.tile_w
+            )
+            return jnp.sum(w * h)
+
+        cams = self.dataset.train_cameras
+        sample = cams[:: max(1, len(cams) // 4)][:4]
+        worst = max(
+            int(count_pairs(
+                jnp.asarray(c.world_to_camera(), jnp.float32),
+                jnp.asarray(c.intrinsics_array()),
+            ))
+            for c in sample
+        )
+        target = int(max(worst, 1) * config.pair_capacity_headroom)
+        cap = 1 << int(np.ceil(np.log2(max(target, 1 << 14))))
+        cap = min(cap, config.pair_capacity)
+        self.log(
+            f"auto pair capacity: max initial pairs {worst} -> capacity {cap} "
+            f"(x{config.pair_capacity_headroom:.0f} headroom)"
+        )
+        return cap
 
     def _effective_steps_per_call(self) -> int:
         """Largest K <= cfg.steps_per_call dividing every active schedule
