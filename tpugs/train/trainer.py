@@ -289,6 +289,17 @@ class Trainer:
             pair_capacity=pair_capacity,
             max_hits_per_tile=config.max_hits_per_tile,
         )
+        # Configuration-time HBM budget gate (the TPU analogue of the
+        # reference's per-iteration VRAM safety system, trainer.cpp:343-373 —
+        # with fixed-capacity state the check moves to construction).
+        from tpugs.utils.memory import check_memory_budget
+
+        est = check_memory_budget(
+            capacity, (config.sh_degree + 1) ** 2, pair_capacity,
+            cam0.height, cam0.width, self.dataset.num_train(),
+        )
+        self.log(f"memory budget: {est}")
+
         params = gs.params()
         self.state = TrainState(
             params=params,
