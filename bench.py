@@ -27,9 +27,12 @@ def main():
     n = 50_000
     # pair capacity sized to the scene (~377k actual pairs; all pair-list ops
     # scale with capacity, not occupancy — docs/PERF_NOTES.md).
+    # 32x32 tiles: 8x128-lane-shaped, and ~2.2x fewer (tile,gaussian) pairs
+    # than 16x16 on this scene — every pair-list op scales with capacity
+    # (docs/PERF_NOTES.md), so bigger tiles + a tight capacity win ~27%.
     cfg = RasterConfig(
-        img_h=img_h, img_w=img_w, tile_h=16, tile_w=16,
-        pair_capacity=1 << 19, max_hits_per_tile=1024,
+        img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
+        pair_capacity=204800, max_hits_per_tile=1024,
     )
     params = synthetic_params(n, seed=0)
     alive = jnp.ones((n,), bool)

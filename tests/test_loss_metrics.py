@@ -27,6 +27,36 @@ class TestL1:
         assert abs(float(l1_loss(a, b)) - float(l1_loss(b, a))) < 1e-7
 
 
+class TestBlurMatmulParity:
+    """The separable banded-matmul blur must match the depthwise-conv2d
+    formulation it replaced (reference SSIM conv: loss.cpp:88-124)."""
+
+    def test_matches_conv_oracle(self):
+        from jax import lax
+
+        from tpugs.train.loss import _blur_maps
+
+        window, sigma = 11, 1.5
+        half = window // 2
+        t = np.arange(window, dtype=np.float64) - half
+        k1 = np.exp(-(t**2) / (2 * sigma * sigma))
+        k1 /= k1.sum()
+        k2 = np.outer(k1, k1)
+        k2 /= k2.sum()
+        kernel = jnp.asarray(np.tile(k2[None, None], (3, 1, 1, 1)), jnp.float32)
+
+        img = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, (3, 37, 53)), jnp.float32
+        )
+        conv = lax.conv_general_dilated(
+            img[None], kernel, (1, 1), [(half, half), (half, half)],
+            feature_group_count=3,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]
+        mm = _blur_maps(img, window)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(conv), atol=2e-6)
+
+
 class TestSSIM:
     def test_identical_is_one(self):
         img = rand_img(3)

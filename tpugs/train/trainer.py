@@ -57,8 +57,8 @@ class TrainConfig:
     adc: ADCConfig = dataclasses.field(default_factory=ADCConfig)
     mcmc: MCMCConfig = dataclasses.field(default_factory=MCMCConfig)
     # Rasterizer geometry
-    tile_h: int = 16
-    tile_w: int = 16
+    tile_h: int = 32
+    tile_w: int = 32
     pair_capacity: int = 1 << 21
     max_hits_per_tile: int = 2048
     output_dir: str = "output"
@@ -441,7 +441,7 @@ class Trainer:
                 gs.alive, viewmat, intr, cam0.width, cam0.height, 0,
             )
             _, _, w, h = tile_rects(
-                proj, cam0.width, cam0.height, config.tile_h, config.tile_w
+                proj, cam0.width, cam0.height, config.tile_w, config.tile_h
             )
             return jnp.sum(w * h)
 
