@@ -27,8 +27,8 @@ from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
 img_w, img_h = 489, 272
 n = 50_000
-cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=16, tile_w=16,
-                   pair_capacity=1 << 19, max_hits_per_tile=1024)
+cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
+                   pair_capacity=204800, max_hits_per_tile=1024)
 params = synthetic_params(n, seed=0)
 alive = jnp.ones((n,), bool)
 viewmat = jnp.eye(4)
@@ -39,7 +39,7 @@ target = jax.random.uniform(jax.random.PRNGKey(0), (img_h, img_w, 3))
 proj = jax.jit(lambda p: project_gaussians(
     p["means"], p["quats"], p["log_scales"], p["opacity_logits"], p["sh"],
     alive, viewmat, intr, img_w, img_h, 3, 1.0))(params)
-binning = jax.jit(lambda pr: bin_gaussians(pr, img_w, img_h, 16, 16,
+binning = jax.jit(lambda pr: bin_gaussians(pr, img_w, img_h, 32, 32,
                                            cfg.pair_capacity))(proj)
 p_aligned = _p_aligned(cfg)
 astart, astop, aligned_gauss, avalid = jax.jit(
@@ -71,7 +71,7 @@ stage("projection+SH fwd", lambda c, it: (feed(project_gaussians(
     img_w, img_h, 3, 1.0).means2d),))
 
 stage("binning", lambda c, it: (feed(bin_gaussians(
-    proj.replace(depths=proj.depths + c[0]), img_w, img_h, 16, 16,
+    proj.replace(depths=proj.depths + c[0]), img_w, img_h, 32, 32,
     cfg.pair_capacity).pair_tile),))
 
 

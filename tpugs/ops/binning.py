@@ -77,6 +77,30 @@ def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int, tile
     return tx0, ty0, w_tiles, h_tiles
 
 
+def cull_radius_sq(proj: ProjectionOutput) -> jnp.ndarray:
+    """Per-Gaussian squared cull radius r² = 2λ_max(Σ)·ln(255·op).
+
+    Pixel-exact pair culling: the compositor skips any entry with
+    α = op·exp(−½ΔᵀΣ⁻¹Δ) < 1/255 (forward.cu:137-141 semantics). Since
+    ΔᵀΣ⁻¹Δ ≥ d²/λ_max(Σ), every pixel at distance d with
+    d² > 2λ_max·ln(255·op) is provably skipped — a (tile, gaussian) pair whose
+    nearest tile pixel is farther than that contributes nothing and can be
+    dropped from the pair list without changing a single output pixel. (No 3σ
+    clamp here: the reference's 3σ truncation is tile-rect-granular — pixels
+    past 3σ inside an included tile still composite — and the pair list this
+    culls is already rect-limited.) A 1.001 inflation absorbs f32 rounding on
+    the boundary so the bound stays conservative.
+    """
+    a, b, c = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    # λ_min of the conic (inverse covariance) -> λ_max of Σ = 1/λ_min.
+    lmin = (a + c) / 2.0 - jnp.sqrt(((a - c) / 2.0) ** 2 + b * b + 1e-20)
+    lam_max = 1.0 / jnp.maximum(lmin, 1e-12)
+    r2_alpha = 2.0 * lam_max * jnp.log(jnp.maximum(255.0 * proj.opac, 1.0))
+    big = jnp.full_like(r2_alpha, jnp.finfo(jnp.float32).max)
+    r2 = jnp.where(lmin > 0, r2_alpha * 1.001, big)
+    return jnp.where(proj.visible, r2, 0.0)
+
+
 def bin_gaussians(
     proj: ProjectionOutput,
     img_w: int,
@@ -94,6 +118,7 @@ def bin_gaussians(
     counts = w_tiles * h_tiles  # [N]
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = offsets[-1] + counts[-1]
+    r2_cull = cull_radius_sq(proj)
 
     # Slot -> owning gaussian: largest g with offsets[g] <= slot, computed as
     # cumsum(histogram of offsets) - 1. (A vectorized searchsorted here costs
@@ -112,9 +137,10 @@ def bin_gaussians(
     f32 = jnp.float32
     table = jnp.stack(
         [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
-         w_tiles.astype(f32), proj.depths],
+         w_tiles.astype(f32), proj.depths,
+         proj.means2d[:, 0], proj.means2d[:, 1], r2_cull],
         axis=1,
-    )  # [N, 5]
+    )  # [N, 8]
     rows = table[g]
     off_g = rows[:, 0].astype(jnp.int32)
     tx0_g = rows[:, 1].astype(jnp.int32)
@@ -126,9 +152,21 @@ def bin_gaussians(
     ty = ty0_g + local // w_g
     tile_id = (ty * ntx + tx).astype(jnp.int32)
 
+    # Pixel-exact corner cull: distance from the Gaussian center to the tile's
+    # nearest pixel vs the alpha-aware radius (see cull_radius_sq). Culled
+    # pairs become sentinel entries that sort to the back — per-tile segments
+    # shrink, so the compositor kernels do ~15-50% fewer waves at identical
+    # output.
+    gx, gy, r2_g = rows[:, 5], rows[:, 6], rows[:, 7]
+    px0 = (tx * tile_w).astype(f32)
+    py0 = (ty * tile_h).astype(f32)
+    dx = jnp.clip(gx, px0, px0 + (tile_w - 1)) - gx
+    dy = jnp.clip(gy, py0, py0 + (tile_h - 1)) - gy
+    hit = dx * dx + dy * dy <= r2_g
+
     # Invalid slots: sentinel tile sorts to the back.
-    tile_id = jnp.where(in_range, tile_id, num_tiles)
-    depth = jnp.where(in_range, rows[:, 4], jnp.inf)
+    tile_id = jnp.where(in_range & hit, tile_id, num_tiles)
+    depth = jnp.where(in_range & hit, rows[:, 4], jnp.inf)
 
     sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
         (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True

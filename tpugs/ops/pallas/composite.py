@@ -103,13 +103,13 @@ def _lane_shift_left_fill(m, s, fill):
     return jnp.where(cols < m.shape[1] - s, rolled, fill)
 
 
-def _prefix_prod_excl(m):
-    """Exclusive cumulative product along lanes (7-step tree for 128)."""
+def _prefix_prod_incl(m):
+    """Inclusive cumulative product along lanes (7-step tree for 128)."""
     s = 1
     while s < m.shape[1]:
         m = m * _lane_shift_right_fill(m, s, 1.0)
         s *= 2
-    return _lane_shift_right_fill(m, 1, 1.0)
+    return m
 
 
 def _suffix_prod_incl(m):
@@ -147,6 +147,8 @@ def _wave_alpha(attr_w, px, py, base_idx, num):
     the per-entry row vectors."""
     x = attr_w[0:1, :]  # (1, WAVE)
     y = attr_w[1:2, :]
+    # Conic rows are pre-scaled at pack time: ca = -a/2, cb = -b, cc = -c/2
+    # (three fewer multiplies per lane-element in the hot wave).
     ca = attr_w[2:3, :]
     cb = attr_w[3:4, :]
     cc = attr_w[4:5, :]
@@ -154,7 +156,7 @@ def _wave_alpha(attr_w, px, py, base_idx, num):
 
     dx = px - x  # (PIX, WAVE)
     dy = py - y
-    power = (-0.5 * ca) * (dx * dx) + (-0.5 * cc) * (dy * dy) - cb * (dx * dy)
+    power = ca * (dx * dx) + cc * (dy * dy) + cb * (dx * dy)
     gauss = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * gauss
     alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
@@ -216,7 +218,8 @@ def _fwd_kernel(cfg: RasterConfig,
                 attr_w, px, py, chunk_idx * CHUNK + base, num
             )
             a_eff = jnp.where(passes, alpha, 0.0)
-            excl = _prefix_prod_excl(1.0 - a_eff)  # (PIX, WAVE)
+            incl = _prefix_prod_incl(1.0 - a_eff)  # (PIX, WAVE)
+            excl = _lane_shift_right_fill(incl, 1, 1.0)
 
             T_before = T * excl
             gate = T_before >= T_THRESHOLD
@@ -229,10 +232,11 @@ def _fwd_kernel(cfg: RasterConfig,
             Cg = Cg + jnp.sum(w_px * g_w, axis=1, keepdims=True)
             Cb = Cb + jnp.sum(w_px * b_w, axis=1, keepdims=True)
 
-            a_gated = jnp.where(gate, a_eff, 0.0)
-            total = _suffix_prod_incl(1.0 - a_gated)[:, 0:1]
-            T = T * total
-            contrib = a_gated > 0.0
+            # excl is non-increasing along lanes, so the T gate is a prefix:
+            # the post-wave transmittance is T * incl at the last gated lane —
+            # one lane-min instead of a second suffix-product tree.
+            T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=1, keepdims=True)
+            contrib = (a_eff > 0.0) & gate
             nc = nc + jnp.sum(contrib.astype(jnp.int32), axis=1, keepdims=True)
             kl = jnp.maximum(
                 kl, jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True)
@@ -274,9 +278,10 @@ def pack_sorted_attrs(pair_gauss, means2d, conic, rgb, opac, p_pad: int):
     XLA gather outside the kernel: after the (tile, depth) sort each tile's
     entries are contiguous, turning kernel access into sequential lane-aligned
     DMA."""
+    conic_scaled = conic * jnp.asarray([-0.5, -1.0, -0.5], conic.dtype)
     attr = jnp.concatenate(
-        [means2d, conic, opac[:, None], rgb], axis=1
-    )  # [N, 9]: x y ca cb cc opac r g b
+        [means2d, conic_scaled, opac[:, None], rgb], axis=1
+    )  # [N, 9]: x y -a/2 -b -c/2 opac r g b (conic pre-scaled for the kernel)
     gathered = attr[pair_gauss]  # [P, 9]
     out = jnp.pad(
         gathered, ((0, p_pad - gathered.shape[0]), (0, ATTR_ROWS - NUM_ATTR))
@@ -424,11 +429,14 @@ def _bwd_kernel(cfg: RasterConfig,
             g_op_px = g_alpha * gauss * clamp_ok
             g_pow = g_alpha * alpha * clamp_ok
 
+            # Pre-scaled conic rows (ca = -a/2, cb = -b, cc = -c/2):
+            # d power/d dx = 2*ca*dx + cb*dy, and the conic gradient rows are
+            # w.r.t. the SCALED values — unscaled back in _pallas_bwd.
             ca = attr_w[2:3, :]
             cb_w = attr_w[3:4, :]
             cc = attr_w[4:5, :]
-            g_dx = g_pow * (-(ca * dx + cb_w * dy))
-            g_dy = g_pow * (-(cb_w * dx + cc * dy))
+            g_dx = g_pow * (2.0 * ca * dx + cb_w * dy)
+            g_dy = g_pow * (cb_w * dx + 2.0 * cc * dy)
 
             def csum(x):
                 return jnp.sum(x, axis=0, keepdims=True)  # (1, WAVE)
@@ -436,9 +444,9 @@ def _bwd_kernel(cfg: RasterConfig,
             grads = (
                 -csum(g_dx),  # d mean_x
                 -csum(g_dy),  # d mean_y
-                csum(g_pow * (-0.5 * dx * dx)),  # d conic_a
-                csum(g_pow * (-dx * dy)),  # d conic_b
-                csum(g_pow * (-0.5 * dy * dy)),  # d conic_c
+                csum(g_pow * (dx * dx)),  # d conic_a_scaled
+                csum(g_pow * (dx * dy)),  # d conic_b_scaled
+                csum(g_pow * (dy * dy)),  # d conic_c_scaled
                 csum(g_op_px),  # d opac
                 csum(w_px * dcrh),  # d r
                 csum(w_px * dcgh),  # d g
@@ -611,7 +619,8 @@ def _pallas_bwd(cfg, res, cot):
     acc = jnp.zeros((n, NUM_ATTR), jnp.float32).at[safe_g].add(rows)
 
     d_means2d = acc[:, 0:2]
-    d_conic = acc[:, 2:5]
+    # Kernel emits grads w.r.t. the pre-scaled conic (-a/2, -b, -c/2).
+    d_conic = acc[:, 2:5] * jnp.asarray([-0.5, -1.0, -0.5], acc.dtype)
     d_opac = acc[:, 5]
     d_rgb = acc[:, 6:9]
     d_bg = jnp.einsum("tpc,tp->c", d_color, final_t)
