@@ -50,7 +50,10 @@ from tpugs.ops.rasterize_tiled import (
 
 WAVE = 128  # entries per vector wave (lane axis)
 CHUNK = 512  # entries per DMA chunk
-_PIX_BLOCK = 512  # max pixel sublanes processed at once in the backward kernel
+_PIX_BLOCK = 256  # max pixel sublanes processed at once in the backward kernel
+# (256, not 512: the live (PB, WAVE) temporaries of both lax.cond branches
+# count against the ~16 MB scoped-VMEM stack; 512 overflows it by ~1 MB at
+# 32x32 tiles.)
 ALIGN = 128  # per-tile segment alignment (lane-dim DMA offsets must be 128-aligned)
 ATTR_ROWS = 16  # padded attr rows: x, y, ca, cb, cc, opac, r, g, b, (pad)
 NUM_ATTR = 9
@@ -184,6 +187,8 @@ def _fwd_kernel(cfg: RasterConfig,
     px, py = _pixel_coords(cfg, t)
 
     n_chunks = pl.cdiv(num, CHUNK)
+    wpc = CHUNK // WAVE
+    n_waves = n_chunks * wpc
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -196,55 +201,56 @@ def _fwd_kernel(cfg: RasterConfig,
     def _():
         dma(0, 0).start()
 
+    # Wave-granular early exit: the transmittance check runs every 128-entry
+    # wave, not every 512-entry chunk — on saturating scenes pixels die within
+    # a wave or two, and chunk-granular exit wasted up to 3 extra waves.
     def cond(carry):
-        chunk_idx, T, Cr, Cg, Cb, nc, kl = carry
-        return (chunk_idx < n_chunks) & (jnp.max(T) >= T_THRESHOLD)
+        w, T, Cr, Cg, Cb, nc, kl = carry
+        return (w < n_waves) & (jnp.max(T) >= T_THRESHOLD)
 
     def body(carry):
-        chunk_idx, T, Cr, Cg, Cb, nc, kl = carry
+        w, T, Cr, Cg, Cb, nc, kl = carry
+        chunk_idx = w // wpc
         slot = chunk_idx % 2
 
-        @pl.when(chunk_idx + 1 < n_chunks)
+        @pl.when(w % wpc == 0)
         def _():
-            dma(1 - slot, chunk_idx + 1).start()
+            @pl.when(chunk_idx + 1 < n_chunks)
+            def _():
+                dma(1 - slot, chunk_idx + 1).start()
 
-        dma(slot, chunk_idx).wait()
+            dma(slot, chunk_idx).wait()
 
-        def wave_body(w, wcarry):
-            T, Cr, Cg, Cb, nc, kl = wcarry
-            base = w * WAVE
-            attr_w = chunk_buf[slot, :, pl.ds(base, WAVE)]  # (ATTR_ROWS, WAVE)
-            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
-                attr_w, px, py, chunk_idx * CHUNK + base, num
-            )
-            a_eff = jnp.where(passes, alpha, 0.0)
-            incl = _prefix_prod_incl(1.0 - a_eff)  # (PIX, WAVE)
-            excl = _lane_shift_right_fill(incl, 1, 1.0)
+        base = (w % wpc) * WAVE
+        attr_w = chunk_buf[slot, :, pl.ds(base, WAVE)]  # (ATTR_ROWS, WAVE)
+        dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
+            attr_w, px, py, w * WAVE, num
+        )
+        a_eff = jnp.where(passes, alpha, 0.0)
+        incl = _prefix_prod_incl(1.0 - a_eff)  # (PIX, WAVE)
+        excl = _lane_shift_right_fill(incl, 1, 1.0)
 
-            T_before = T * excl
-            gate = T_before >= T_THRESHOLD
-            w_px = jnp.where(gate, a_eff * T_before, 0.0)
+        T_before = T * excl
+        gate = T_before >= T_THRESHOLD
+        w_px = jnp.where(gate, a_eff * T_before, 0.0)
 
-            r_w = attr_w[6:7, :]  # (1, WAVE)
-            g_w = attr_w[7:8, :]
-            b_w = attr_w[8:9, :]
-            Cr = Cr + jnp.sum(w_px * r_w, axis=1, keepdims=True)
-            Cg = Cg + jnp.sum(w_px * g_w, axis=1, keepdims=True)
-            Cb = Cb + jnp.sum(w_px * b_w, axis=1, keepdims=True)
+        r_w = attr_w[6:7, :]  # (1, WAVE)
+        g_w = attr_w[7:8, :]
+        b_w = attr_w[8:9, :]
+        Cr = Cr + jnp.sum(w_px * r_w, axis=1, keepdims=True)
+        Cg = Cg + jnp.sum(w_px * g_w, axis=1, keepdims=True)
+        Cb = Cb + jnp.sum(w_px * b_w, axis=1, keepdims=True)
 
-            # excl is non-increasing along lanes, so the T gate is a prefix:
-            # the post-wave transmittance is T * incl at the last gated lane —
-            # one lane-min instead of a second suffix-product tree.
-            T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=1, keepdims=True)
-            contrib = (a_eff > 0.0) & gate
-            nc = nc + jnp.sum(contrib.astype(jnp.int32), axis=1, keepdims=True)
-            kl = jnp.maximum(
-                kl, jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True)
-            )
-            return T, Cr, Cg, Cb, nc, kl
-
-        out = jax.lax.fori_loop(0, CHUNK // WAVE, wave_body, (T, Cr, Cg, Cb, nc, kl))
-        return (chunk_idx + 1,) + out
+        # excl is non-increasing along lanes, so the T gate is a prefix:
+        # the post-wave transmittance is T * incl at the last gated lane —
+        # one lane-min instead of a second suffix-product tree.
+        T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=1, keepdims=True)
+        contrib = (a_eff > 0.0) & gate
+        nc = nc + jnp.sum(contrib.astype(jnp.int32), axis=1, keepdims=True)
+        kl = jnp.maximum(
+            kl, jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True)
+        )
+        return (w + 1, T, Cr, Cg, Cb, nc, kl)
 
     pix = cfg.pix
     init = (
@@ -256,13 +262,18 @@ def _fwd_kernel(cfg: RasterConfig,
         jnp.zeros((pix, 1), jnp.int32),
         jnp.full((pix, 1), -1, jnp.int32),
     )
-    chunk_idx, T, Cr, Cg, Cb, nc, kl = jax.lax.while_loop(cond, body, init)
+    w_f, T, Cr, Cg, Cb, nc, kl = jax.lax.while_loop(cond, body, init)
 
-    # If early-exited, the already-started DMA must still be awaited so the
-    # semaphore stays balanced.
-    @pl.when(chunk_idx < n_chunks)
+    # If early-exited, an already-started prefetch DMA must still be awaited
+    # so the semaphore stays balanced. The last executed wave's chunk was
+    # waited inside the loop; only its successor's prefetch can be in flight.
+    @pl.when((w_f > 0) & (w_f < n_waves))
     def _():
-        dma(chunk_idx % 2, chunk_idx).wait()
+        c_done = (w_f - 1) // wpc
+
+        @pl.when(c_done + 1 < n_chunks)
+        def _():
+            dma((c_done + 1) % 2, c_done + 1).wait()
 
     cr_ref[...] = Cr
     cg_ref[...] = Cg
@@ -455,36 +466,47 @@ def _bwd_kernel(cfg: RasterConfig,
             return Th / sp[:, 0:1], Rh + s_incl[:, 0:1], grads
 
         def wave_grads(w_rev, wcarry):
-            T_run, R = wcarry
             w = (CHUNK // WAVE) - 1 - w_rev
             base = w * WAVE
-            attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
             base_idx = c * CHUNK + base
 
-            t_parts, r_parts = [], []
-            grad_acc = None
-            for h in range(n_blocks):
-                sl = slice(h * pb, (h + 1) * pb)
-                Th, Rh, grads = wave_half(
-                    attr_w, px[sl], py[sl], base_idx,
-                    T_run[sl], R[sl], kl[sl], dcr[sl], dcg[sl], dcb[sl],
-                )
-                t_parts.append(Th)
-                r_parts.append(Rh)
-                grad_acc = grads if grad_acc is None else tuple(
-                    a + b for a, b in zip(grad_acc, grads)
-                )
+            def active_wave(carry):
+                T_run, R = carry
+                attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
+                t_parts, r_parts = [], []
+                grad_acc = None
+                for h in range(n_blocks):
+                    sl = slice(h * pb, (h + 1) * pb)
+                    Th, Rh, grads = wave_half(
+                        attr_w, px[sl], py[sl], base_idx,
+                        T_run[sl], R[sl], kl[sl], dcr[sl], dcg[sl], dcb[sl],
+                    )
+                    t_parts.append(Th)
+                    r_parts.append(Rh)
+                    grad_acc = grads if grad_acc is None else tuple(
+                        a + b for a, b in zip(grad_acc, grads)
+                    )
 
-            grad_w = jnp.concatenate(
-                list(grad_acc)
-                + [jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32)],
-                axis=0,
-            )  # (ATTR_ROWS, WAVE)
-            out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
+                grad_w = jnp.concatenate(
+                    list(grad_acc)
+                    + [jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32)],
+                    axis=0,
+                )  # (ATTR_ROWS, WAVE)
+                out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
 
-            T_run = t_parts[0] if n_blocks == 1 else jnp.concatenate(t_parts, 0)
-            R = r_parts[0] if n_blocks == 1 else jnp.concatenate(r_parts, 0)
-            return T_run, R
+                T_run = t_parts[0] if n_blocks == 1 else jnp.concatenate(t_parts, 0)
+                R = r_parts[0] if n_blocks == 1 else jnp.concatenate(r_parts, 0)
+                return T_run, R
+
+            def dead_wave(carry):
+                # Entries past every pixel's last contributor: zero grads and
+                # nothing composited, so T/R pass through unchanged.
+                out_buf[slot, :, pl.ds(base, WAVE)] = jnp.zeros(
+                    (ATTR_ROWS, WAVE), jnp.float32
+                )
+                return carry
+
+            return jax.lax.cond(base_idx <= max_kl, active_wave, dead_wave, wcarry)
 
         def active(carry):
             return jax.lax.fori_loop(0, CHUNK // WAVE, wave_grads, carry)
