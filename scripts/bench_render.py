@@ -1,0 +1,37 @@
+"""Pure forward render throughput (the viewer workload): 1080p, 1M Gaussians.
+
+Reference viewer target: >=30 FPS @1080p with ~1M Gaussians on an RTX 3060
+(ROADMAP.md:766-768); measured 0.7 FPS before optimization on 50k
+(docs/issues.md:367)."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpugs.ops.render import RasterConfig, render
+from tpugs.utils.profiling import device_time
+from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
+
+img_w, img_h = 1920, 1088
+n = 1_000_000
+cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
+                   pair_capacity=1 << 22, max_hits_per_tile=4096)
+# Realistic trained-scene statistics: a converged 1M-Gaussian model has
+# few-pixel screen footprints (the default synthetic scale_range is sized for
+# ~0.13 Mpix views and produces a pathological 19.7M pairs at 1080p).
+params = synthetic_params(n, seed=0, scale_range=(0.002, 0.015))
+alive = jnp.ones((n,), bool)
+viewmat = jnp.eye(4)
+intr = synthetic_intrinsics(img_w, img_h)
+bg = jnp.zeros((3,))
+
+
+def frame(c, it):
+    out = render(params["means"] + c[0], params["quats"], params["log_scales"],
+                 params["opacity_logits"], params["sh"], alive, viewmat, intr,
+                 cfg, 3, bg)
+    return (jnp.tanh(jnp.sum(out.color)) * 1e-20,)
+
+
+ms = device_time(frame, (jnp.zeros(()),), k=10, rounds=2) * 1e3
+print(f"1080p 1M-gaussian forward render: {ms:.2f} ms/frame = {1e3/ms:.1f} FPS")
