@@ -17,7 +17,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("tpugs-quality")
     p.add_argument("-i", "--iterations", type=int, default=2000)
     p.add_argument("-o", "--workdir", default=None)
-    p.add_argument("--gaussians", type=int, default=3000)
+    p.add_argument("--gaussians", type=int, default=8000)
     p.add_argument("--views", type=int, default=24)
     p.add_argument("--width", type=int, default=488)
     p.add_argument("--height", type=int, default=272)

@@ -82,10 +82,25 @@ def adc_init(capacity: int) -> ADCState:
     )
 
 
-def adc_accumulate(state: ADCState, d_means2d: jnp.ndarray, radii: jnp.ndarray) -> ADCState:
-    """Per-iteration accumulation (reference: densification.cpp:59-88)."""
+def adc_accumulate(
+    state: ADCState,
+    d_means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    grad_scale=1.0,
+) -> ADCState:
+    """Per-iteration accumulation (reference: densification.cpp:59-88).
+
+    `grad_scale` converts the gradient to the units the 2e-4 threshold was
+    calibrated for. The INRIA threshold applies to viewspace (NDC-scale)
+    gradients; d_means2d here is w.r.t. PIXEL coordinates, a factor of
+    (W/2, H/2) smaller. The reference accumulates raw pixel gradients
+    (densification.cpp:77) against the same 2e-4 — at its 489x272 dev
+    resolution that under-triggers by ~250x and densification never fires
+    (clone/split counts stay 0), leaving ADC as pure pruning. Pass
+    grad_scale=(W/2, H/2) to restore the paper-calibrated behavior (the
+    Trainer does)."""
     visible = radii > 0
-    norms = jnp.linalg.norm(d_means2d, axis=-1)
+    norms = jnp.linalg.norm(d_means2d * grad_scale, axis=-1)
     return ADCState(
         grad_accum=state.grad_accum + jnp.where(visible, norms, 0.0),
         grad_count=state.grad_count + visible.astype(jnp.float32),

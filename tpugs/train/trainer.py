@@ -106,6 +106,7 @@ def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float)
 
         nc = state.alive.shape[0]
         probe = jnp.zeros((nc, 2))
+        grad_scale = jnp.asarray([raster.img_w * 0.5, raster.img_h * 0.5])
 
         def loss_fn(params, probe):
             out = render(
@@ -127,7 +128,10 @@ def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float)
 
         adc = state.adc
         if adc_mode:
-            adc = adc_accumulate(adc, d_means2d, out.radii)
+            # NDC-unit gradient accumulation: the 2e-4 densify
+            # threshold is calibrated for viewspace gradients, a
+            # (W/2, H/2) factor above pixel-space (see adc_accumulate).
+            adc = adc_accumulate(adc, d_means2d, out.radii, grad_scale)
         if mcmc_mode:
             new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
 
@@ -161,6 +165,7 @@ def make_train_multi_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: 
             background = jnp.zeros((3,))
         nc = state.alive.shape[0]
         probe = jnp.zeros((nc, 2))
+        grad_scale = jnp.asarray([raster.img_w * 0.5, raster.img_h * 0.5])
 
         def loss_fn(params, probe):
             out = render(
@@ -180,7 +185,10 @@ def make_train_multi_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: 
         new_params, new_adam = adam_step(cfg.adam, state.adam, state.params, grads, step)
         adc = state.adc
         if adc_mode:
-            adc = adc_accumulate(adc, d_means2d, out.radii)
+            # NDC-unit gradient accumulation: the 2e-4 densify
+            # threshold is calibrated for viewspace gradients, a
+            # (W/2, H/2) factor above pixel-space (see adc_accumulate).
+            adc = adc_accumulate(adc, d_means2d, out.radii, grad_scale)
         if mcmc_mode:
             new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
         l1 = jnp.mean(jnp.abs(out.color - image))

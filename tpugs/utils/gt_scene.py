@@ -21,19 +21,22 @@ from tpugs.ops.render import RasterConfig, render
 from tpugs.viewer.camera import OrbitCamera
 
 
-def make_gt_model(n: int = 3000, seed: int = 0, sh_coeffs: int = 16):
-    """A structured, colorful Gaussian model: clustered blobs on a ground
-    plane — enough spatial structure that view-dependent training is
-    non-trivial."""
+def make_gt_model(n: int = 8000, seed: int = 0, sh_coeffs: int = 16):
+    """A structured, colorful Gaussian model: many small clustered blobs with
+    per-Gaussian color detail — fine structure keeps training gradients alive
+    so densification stays active, and screen footprints stay below ADC's
+    20 px size-prune threshold (both are properties of real converged scenes;
+    a coarse fat-splat scene collapses under reference ADC semantics — the
+    post-reset size prune repeatedly and correctly removes >20 px splats)."""
     rng = np.random.default_rng(seed)
-    n_clusters = max(8, n // 200)
+    n_clusters = max(16, n // 60)
     centers = rng.uniform(-1.0, 1.0, (n_clusters, 3)) * np.array([1.2, 0.6, 1.2])
     cluster_colors = rng.uniform(0.1, 0.9, (n_clusters, 3))
     which = rng.integers(0, n_clusters, n)
 
-    means = centers[which] + rng.normal(0, 0.15, (n, 3))
+    means = centers[which] + rng.normal(0, 0.08, (n, 3))
     colors = np.clip(
-        cluster_colors[which] + rng.normal(0, 0.08, (n, 3)), 0.02, 0.98
+        cluster_colors[which] + rng.normal(0, 0.15, (n, 3)), 0.02, 0.98
     )
     sh = np.zeros((n, 3, sh_coeffs), np.float32)
     sh[:, :, 0] = np.asarray(rgb_to_sh_dc(jnp.asarray(colors, jnp.float32)))
@@ -43,8 +46,10 @@ def make_gt_model(n: int = 3000, seed: int = 0, sh_coeffs: int = 16):
     return {
         "means": jnp.asarray(means, jnp.float32),
         "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        # 3*sigma*f/z ~ 3-9 px at the default 488x272 orbit — the typical
+        # converged-splat regime, safely under the 20 px size-prune threshold.
         "log_scales": jnp.asarray(
-            np.log(rng.uniform(0.01, 0.06, (n, 3))), jnp.float32
+            np.log(rng.uniform(0.004, 0.018, (n, 3))), jnp.float32
         ),
         "opacity_logits": jnp.asarray(rng.uniform(0.0, 3.0, n), jnp.float32),
         "sh": jnp.asarray(sh),
