@@ -18,7 +18,7 @@ from tpugs.optim.densify_adc import (
 from tpugs.optim.densify_mcmc import (
     MCMCConfig,
     inject_noise,
-    noise_lr,
+    noise_scale,
     regularization,
     relocate,
 )
@@ -204,7 +204,9 @@ class TestMCMC:
         params = {
             "means": jnp.zeros((nc, 3)),
             "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (nc, 1)),
-            "log_scales": jnp.zeros((nc, 3)),
+            # converged-size splats: below the displacement clamp, so the
+            # opacity gate (not the clamp) determines the noise ratio
+            "log_scales": jnp.full((nc, 3), jnp.log(0.001)),
             "opacity_logits": jnp.concatenate(
                 [jnp.full((nc // 2,), -6.0), jnp.full((nc // 2,), 6.0)]
             ),
@@ -218,11 +220,25 @@ class TestMCMC:
         high = disp[nc // 2 :].mean()
         assert low > 2.0 * max(high, 1e-12)
 
-    def test_noise_lr_decay(self):
+    def test_noise_scale_decay(self):
+        """Paper semantics: noise magnitude = noise_lr * decaying xyz LR
+        (5e5 * 1.6e-4 = 80 at step 0, 100x smaller by 30k). Guards against
+        regressing to the reference's scene-destroying 5e5*sigma formula."""
         cfg = MCMCConfig()
-        assert abs(float(noise_lr(0, cfg)) - 5e5) < 1.0
-        assert abs(float(noise_lr(30000, cfg)) - 1e3) < 1.0
-        assert float(noise_lr(15000, cfg)) < 5e5
+        assert abs(float(noise_scale(0, cfg)) - 5e5 * 1.6e-4) < 1e-3
+        assert abs(float(noise_scale(30000, cfg)) - 5e5 * 1.6e-6) < 1e-4
+        assert float(noise_scale(15000, cfg)) < float(noise_scale(0, cfg))
+
+    def test_noise_displacement_is_sane(self):
+        """One injection at step 0 must not move Gaussians by more than a
+        fraction of their own scale envelope (the exploded formula moved them
+        by ~5e5 * sigma)."""
+        params, alive = hand_model()
+        p2 = inject_noise(MCMCConfig(), params, alive, jnp.asarray(0.0),
+                          jax.random.PRNGKey(7))
+        disp = np.linalg.norm(np.asarray(p2["means"] - params["means"]), axis=-1)
+        sigma = np.exp(np.asarray(params["log_scales"])).max(axis=-1)
+        assert (disp <= 100.0 * sigma**2 * 3.5).all()
 
     def test_regularization_value(self):
         params, alive = hand_model()

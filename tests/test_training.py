@@ -155,4 +155,31 @@ class TestTrainerEndToEnd:
         tr = Trainer(root, cfg, log_fn=lambda *_: None)
         tr.train(12)
         n = int(jnp.sum(tr.state.alive))
-        assert n == 40  # MCMC keeps N constant
+        # N grows by grow_factor per relocate event (upstream 3dgs-mcmc
+        # behavior), bounded by capacity; never shrinks.
+        assert 40 <= n <= 64
+
+    def test_trainer_mcmc_fixed_n(self, tmp_path):
+        """grow_factor=0 gives the reference's strictly-fixed-N behavior."""
+        root = str(tmp_path / "scene")
+        make_scene(root, num_images=10, width=64, height=48, num_points=40)
+        import dataclasses
+
+        from tpugs.optim.densify_mcmc import MCMCConfig
+
+        cfg = TrainConfig(
+            iterations=12,
+            capacity=64,
+            sh_degree=0,
+            log_every=0,
+            save_every=0,
+            densify_mode="mcmc",
+            output_dir=str(tmp_path / "out2"),
+        )
+        cfg = dataclasses.replace(
+            cfg, mcmc=MCMCConfig(relocate_from=4, relocate_every=4,
+                                 relocate_until=100, grow_factor=0.0)
+        )
+        tr = Trainer(root, cfg, log_fn=lambda *_: None)
+        tr.train(12)
+        assert int(jnp.sum(tr.state.alive)) == 40

@@ -235,13 +235,22 @@ def make_densify_step(cfg: TrainConfig, scene_extent: float):
 
 def make_relocate_step(cfg: TrainConfig, scene_extent: float):
     def reloc(state: TrainState):
-        key, rkey = jax.random.split(state.key)
+        key, rkey, gkey = jax.random.split(state.key, 3)
         params, changed, stats = relocate(
             cfg.mcmc, state.params, state.alive, rkey, scene_extent
         )
+        alive = state.alive
+        if cfg.mcmc.grow_factor > 0:
+            from tpugs.optim.densify_mcmc import grow
+
+            params, alive, grown, n_new = grow(
+                cfg.mcmc, params, alive, gkey, scene_extent
+            )
+            changed = changed | grown
+            stats = dict(stats, num_added=n_new)
         adam = zero_slots(state.adam, changed)
         return (
-            TrainState(params=params, alive=state.alive, adam=adam,
+            TrainState(params=params, alive=alive, adam=adam,
                        adc=state.adc, key=key),
             stats,
         )
@@ -401,10 +410,11 @@ class Trainer:
                 elif cfg.densify_mode == "mcmc":
                     if cfg.mcmc.should_relocate(s):
                         self.state, rstats = self._relocate(self.state)
+                        added = int(rstats.get("num_added", 0))
                         self.log(
                             f"[{s}] mcmc relocate: {int(rstats['num_relocated'])} "
-                            f"of {int(rstats['num_dead'])} dead "
-                            f"(N={int(rstats['num_total'])})"
+                            f"of {int(rstats['num_dead'])} dead, +{added} grown "
+                            f"(N={int(rstats['num_total']) + added})"
                         )
 
                 if cfg.log_every > 0 and s % cfg.log_every == 0:
