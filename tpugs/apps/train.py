@@ -25,7 +25,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-densify", action="store_true")
     p.add_argument("--mcmc", action="store_true")
-    p.add_argument("--tile", type=int, default=16, help="tile size (pixels)")
+    p.add_argument("--tile", type=int, default=32, help="tile size (pixels; 32 = 8x128-lane VPU shape, ~2x fewer pairs than 16)")
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     p.add_argument("--max-hits", type=int, default=2048)
     p.add_argument("--densify-from", type=int, default=500)
@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--densify-every", type=int, default=100)
     p.add_argument("--grad-threshold", type=float, default=2e-4)
     p.add_argument("--resume", default=None, help="resume from a ckpt_*.npz")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the run (xprof dir)")
     return p
 
 
@@ -70,7 +72,21 @@ def main(argv=None):
         output_dir=args.output,
     )
     trainer = Trainer(args.data, cfg, resume_from=args.resume)
-    trainer.train()
+    if args.trace_dir:
+        from tpugs.utils.profiling import trace
+
+        with trace(args.trace_dir):
+            history = trainer.train()
+    else:
+        history = trainer.train()
+
+    # Metrics history artifact (step/loss records; SURVEY.md §5.5).
+    import json
+    import os
+
+    with open(os.path.join(args.output, "history.jsonl"), "w") as f:
+        for rec in history:
+            f.write(json.dumps(rec) + "\n")
     return 0
 
 
