@@ -25,11 +25,10 @@ def main():
 
     img_w, img_h = 489, 272  # the reference benchmark resolution (Truck r=4)
     n = 50_000
-    # pair capacity sized to the scene (~377k actual pairs; all pair-list ops
-    # scale with capacity, not occupancy — docs/PERF_NOTES.md).
-    # 32x32 tiles: 8x128-lane-shaped, and ~2.2x fewer (tile,gaussian) pairs
-    # than 16x16 on this scene — every pair-list op scales with capacity
-    # (docs/PERF_NOTES.md), so bigger tiles + a tight capacity win ~27%.
+    # 32x32 tiles: 8x128-lane-shaped, ~174k rect pairs on this scene (2.2x
+    # fewer than 16x16) — every pair-list op scales with capacity, so bigger
+    # tiles + a tight capacity win ~27% (docs/PERF_NOTES.md). Capacity leaves
+    # ~18% headroom over the rect count; overflow is asserted after the run.
     cfg = RasterConfig(
         img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
         pair_capacity=204800, max_hits_per_tile=1024,
@@ -90,6 +89,18 @@ def main():
         params, adam_state, loss = run_k(params, adam_state, step0)
         float(loss)
     dt = time.perf_counter() - t0
+
+    # Integrity check: the tight pair capacity must not have overflowed (an
+    # overflow silently drops pairs and the benchmark would measure less work
+    # than the baseline comparison assumes). Checked on the final (most
+    # drifted) parameters.
+    out = jax.jit(lambda p: render(
+        p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
+        p["sh"], alive, viewmat, intr, cfg, 3, bg,
+    ))(params)
+    assert not bool(out.pair_overflow), (
+        f"pair capacity {cfg.pair_capacity} overflowed ({int(out.num_pairs)} pairs)"
+    )
 
     its = rounds * K / dt
     mpix_s = its * img_w * img_h / 1e6

@@ -15,7 +15,7 @@ model = make_gt_model(8000, seed=0)
 write_gt_dataset(scene, model, num_views=24, width=488, height=272)
 
 variants = {
-    "cap 0.5": MCMCConfig(),
+    "cap 0.5": MCMCConfig(noise_max_sigma=0.5),
     "cap 0.2": MCMCConfig(noise_max_sigma=0.2),
     "cap 0.05": MCMCConfig(noise_max_sigma=0.05),
     "no noise": MCMCConfig(noise_lr=0.0),

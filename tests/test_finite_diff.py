@@ -16,7 +16,9 @@ from tpugs.train.loss import l1_loss
 W, H = 48, 32
 CFG = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
                    pair_capacity=1 << 12, max_hits_per_tile=64)
-INTR = jnp.array([40.0, 40.0, W / 2.0, H / 2.0], jnp.float32)
+# numpy at import time: jnp arrays must not be created before conftest forces
+# the CPU backend (CLAUDE.md hard rule).
+INTR = np.asarray([40.0, 40.0, W / 2.0, H / 2.0], np.float32)
 
 
 def make_params(n=12, seed=5):
@@ -37,7 +39,7 @@ def loss_fn(params, target):
     out = render(params["means"], params["quats"], params["log_scales"],
                  params["opacity_logits"], params["sh"],
                  jnp.ones((params["means"].shape[0],), bool),
-                 jnp.eye(4), INTR, CFG, 1, jnp.zeros((3,)))
+                 jnp.eye(4), jnp.asarray(INTR), CFG, 1, jnp.zeros((3,)))
     return l1_loss(out.color, target)
 
 

@@ -73,8 +73,9 @@ def main(argv=None):
             print(f"HBM: {info['hbm_in_use_mb']:.0f} / "
                   f"{info['hbm_limit_mb']:.0f} MB in use")
         print(f"matmul smoke: {'OK' if info['matmul_ok'] else 'FAIL'}")
+        err = info.get("render_error")
         print(f"render smoke: {'OK' if info['render_ok'] else 'FAIL'}"
-              + ("" if info["render_ok"] else f" ({info.get('render_error')})"))
+              + (f" ({err})" if err else ""))
     return 0 if info["matmul_ok"] and info["render_ok"] else 1
 
 

