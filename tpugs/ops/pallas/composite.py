@@ -188,7 +188,10 @@ def _fwd_kernel(cfg: RasterConfig,
 
     n_chunks = pl.cdiv(num, CHUNK)
     wpc = CHUNK // WAVE
-    n_waves = n_chunks * wpc
+    # Bound by actual entries, not whole chunks: the last chunk's tail waves
+    # (base >= num) are pure masked work. The chunk of the last wave always
+    # equals n_chunks-1, so the DMA schedule below is unaffected.
+    n_waves = pl.cdiv(num, WAVE)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
