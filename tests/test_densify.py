@@ -169,7 +169,8 @@ class TestMCMC:
         params, alive = hand_model()
         params["opacity_logits"] = params["opacity_logits"].at[0].set(-10.0)
         p2, changed, stats = relocate(
-            MCMCConfig(relocate_cap=1.0), params, alive, jax.random.PRNGKey(0), EXTENT
+            MCMCConfig(relocate_cap=1.0, exact_relocation=False),
+            params, alive, jax.random.PRNGKey(0), EXTENT
         )
         assert int(stats["num_total"]) == 8
         assert int(stats["num_dead"]) == 1
@@ -184,7 +185,8 @@ class TestMCMC:
         for i in range(4):
             params["opacity_logits"] = params["opacity_logits"].at[i].set(-10.0)
         _, changed, stats = relocate(
-            MCMCConfig(relocate_cap=0.25), params, alive, jax.random.PRNGKey(1), EXTENT
+            MCMCConfig(relocate_cap=0.25, exact_relocation=False),
+            params, alive, jax.random.PRNGKey(1), EXTENT
         )
         assert int(stats["num_relocated"]) == 2
         assert int(np.asarray(changed).sum()) == 2
@@ -252,3 +254,128 @@ class TestMCMC:
         g = jax.grad(lambda p: regularization(MCMCConfig(), p, alive))(params)
         assert np.isfinite(np.asarray(g["opacity_logits"])).all()
         assert np.abs(np.asarray(g["log_scales"])[:8]).max() > 0
+
+
+class TestExactRelocation:
+    """Kheradmand binomial opacity/scale correction (exact relocation):
+    n overlapping copies of a Gaussian render (approximately) the same image
+    as the original."""
+
+    def test_correction_ratio_one_noop(self):
+        from tpugs.optim.densify_mcmc import relocation_correction
+
+        opac = jnp.asarray([0.1, 0.5, 0.9])
+        scales = jnp.full((3, 3), 0.02)
+        ratio = jnp.asarray([1, 1, 1])
+        o2, s2 = relocation_correction(opac, scales, ratio)
+        np.testing.assert_array_equal(np.asarray(o2), np.asarray(opac))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(scales))
+
+    def test_correction_opacity_formula(self):
+        from tpugs.optim.densify_mcmc import relocation_correction
+
+        o = 0.8
+        o2, _ = relocation_correction(
+            jnp.asarray([o]), jnp.ones((1, 3)), jnp.asarray([2])
+        )
+        # 1 - (1-o)^(1/2)
+        np.testing.assert_allclose(float(o2[0]), 1 - np.sqrt(1 - o), rtol=1e-5)
+
+    def test_correction_n2_denominator(self):
+        """n=2 closed form: denom = 2*(o' - o'^2/sqrt(2))... check scale
+        against a hand-evaluated double sum."""
+        from tpugs.optim.densify_mcmc import relocation_correction
+
+        o = 0.6
+        op = 1 - np.sqrt(1 - o)
+        # i=1: k=0: C(0,0)*o' ; i=2: k=0: C(1,0)*o', k=1: -C(1,1)*o'^2/sqrt(2)
+        denom = op + (op - op**2 / np.sqrt(2.0))
+        _, s2 = relocation_correction(
+            jnp.asarray([o]), jnp.ones((1, 3)), jnp.asarray([2])
+        )
+        np.testing.assert_allclose(float(s2[0, 0]), o / denom, rtol=1e-5)
+
+    def test_relocate_preserves_image(self):
+        """Rendering before vs after an exact relocation event must be close:
+        the event teleports dead splats onto sources and the binomial
+        correction makes the n overlapping copies composite to (approximately)
+        the source's original contribution. The control is a NAIVE verbatim
+        copy, which doubles each sampled source's contribution — the
+        correction must beat it by a wide margin."""
+        from tpugs.ops.render import RasterConfig, render
+        from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
+
+        n = 48
+        params = synthetic_params(n, seed=3, sh_coeffs=1)
+        # Kill a third of them (dead: opacity below threshold).
+        dead_idx = jnp.arange(0, n, 3)
+        params["opacity_logits"] = params["opacity_logits"].at[dead_idx].set(-8.0)
+        alive = jnp.ones((n,), bool)
+        cfg = RasterConfig(img_h=48, img_w=64, tile_h=16, tile_w=16,
+                           pair_capacity=1 << 13, max_hits_per_tile=128)
+        intr = synthetic_intrinsics(64, 48)
+        vm = jnp.eye(4)
+
+        def img(p):
+            return render(p["means"], p["quats"], p["log_scales"],
+                          p["opacity_logits"], p["sh"], alive, vm, intr,
+                          cfg, 0, jnp.zeros((3,))).color
+
+        before = np.asarray(img(params))
+        p_exact, _, stats = relocate(
+            MCMCConfig(relocate_cap=1.0), params, alive,
+            jax.random.PRNGKey(5), EXTENT,
+        )
+        assert int(stats["num_relocated"]) == len(dead_idx)
+
+        # Control: verbatim copy of the exact-relocation sources into the
+        # same target slots, no opacity/scale correction.
+        p_naive = dict(params)
+        tgt = np.asarray(dead_idx)
+        src_of = {}
+        # identify each target's source by its (exactly copied) position
+        means_after = np.asarray(p_exact["means"])
+        src_means = np.asarray(params["means"])
+        for t in tgt:
+            s = int(np.argmin(np.linalg.norm(src_means - means_after[t], axis=1)))
+            src_of[t] = s
+        for k in ("means", "quats", "log_scales", "opacity_logits", "sh"):
+            arr = np.asarray(params[k]).copy()
+            for t, s in src_of.items():
+                arr[t] = np.asarray(params[k])[s]
+            p_naive[k] = jnp.asarray(arr)
+
+        err_exact = np.abs(np.asarray(img(p_exact)) - before).mean()
+        err_naive = np.abs(np.asarray(img(p_naive)) - before).mean()
+        assert err_exact < 0.01, err_exact
+        assert err_exact < 0.35 * err_naive, (err_exact, err_naive)
+
+    def test_relocate_sources_in_changed_mask(self):
+        """Corrected sources must have their Adam moments zeroed too."""
+        params, alive = hand_model()
+        params["opacity_logits"] = params["opacity_logits"].at[0].set(-10.0)
+        _, changed, stats = relocate(
+            MCMCConfig(relocate_cap=1.0), params, alive,
+            jax.random.PRNGKey(0), EXTENT,
+        )
+        assert int(stats["num_relocated"]) == 1
+        # target slot 0 plus at least one source
+        assert bool(changed[0])
+        assert int(np.asarray(changed).sum()) >= 2
+
+    def test_grow_exact_preserves_alive_invariants(self):
+        from tpugs.optim.densify_mcmc import grow
+
+        params, alive = hand_model()
+        p2, alive2, changed, n_new = grow(
+            MCMCConfig(grow_factor=0.5), params, alive,
+            jax.random.PRNGKey(1), EXTENT,
+        )
+        assert int(n_new) == 4  # 50% of 8
+        assert int(jnp.sum(alive2)) == 12
+        # new slots are exact copies of living sources (same position).
+        new_slots = np.asarray(alive2 & ~alive)
+        means2 = np.asarray(p2["means"])[new_slots]
+        src_means = np.asarray(params["means"][:8])
+        for m in means2:
+            assert np.any(np.all(np.isclose(m, src_means, atol=1e-6), axis=1))

@@ -35,6 +35,13 @@ def reference_step(params, alive, images, viewmats, intr, step=0.0):
     """Single-device batched-mean reference."""
     acfg = AdamConfig()
     adam = adam_init(params)
+    loss, grads = reference_grads(params, alive, images, viewmats, intr)
+    new_params, _ = adam_step(acfg, adam, params, grads, jnp.asarray(step))
+    return new_params, loss
+
+
+def reference_grads(params, alive, images, viewmats, intr):
+    """Single-device mean-over-views loss + raw gradients."""
 
     def loss_fn(p):
         def one(img, vm, it):
@@ -45,9 +52,7 @@ def reference_step(params, alive, images, viewmats, intr, step=0.0):
 
         return jnp.mean(jax.vmap(one)(images, viewmats, intr))
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    new_params, _ = adam_step(acfg, adam, params, grads, jnp.asarray(step))
-    return new_params, loss
+    return jax.value_and_grad(loss_fn)(params)
 
 
 class TestDataParallel:
@@ -68,7 +73,66 @@ class TestDataParallel:
             )
 
 
+def _gauss_shard_grads(mesh, params, alive, images, viewmats, intr):
+    """Raw-gradient variant of gauss_shard's step (same internals)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpugs.ops.projection import project_gaussians
+    from tpugs.parallel.gauss_shard import _render_from_full
+
+    g = mesh.shape["gauss"]
+
+    def impl(params, alive, images, viewmats, intrinsics):
+        def loss_fn(local_params):
+            proj = project_gaussians(
+                local_params["means"], local_params["quats"],
+                local_params["log_scales"], local_params["opacity_logits"],
+                local_params["sh"], alive,
+                viewmats[0], intrinsics[0], CFG.img_w, CFG.img_h, 1,
+            )
+            full = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "gauss", axis=0, tiled=True),
+                proj,
+            )
+            color = _render_from_full(full, CFG, jnp.zeros((3,)), "scan")
+            return combined_loss(color, images[0], 0.2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.tree.map(lambda t: jax.lax.pmean(t, "data") / g, grads)
+        return grads, loss
+
+    gspec = {k: P("gauss") for k in params}
+    mapped = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(gspec, P("gauss"), P("data"), P("data"), P("data")),
+        out_specs=(gspec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(params, alive, images, viewmats, intr)
+
+
 class TestGaussSharded:
+    def test_gauss_shard_grad_parity(self, scene):
+        """Raw gradients (not post-Adam params — a fresh-state Adam step is
+        gradient-scale-invariant and masks scaling bugs) must match the
+        single-device mean-over-views gradient."""
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        b = 2
+        sh_grads, loss = _gauss_shard_grads(
+            mesh, params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        ref_loss, ref_grads = reference_grads(
+            params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(sh_grads[k]), np.asarray(ref_grads[k]),
+                rtol=2e-5, atol=1e-8, err_msg=k,
+            )
+
     def test_gauss_shard_matches_reference(self, scene):
         from tpugs.parallel.gauss_shard import (
             make_gauss_sharded_train_step,
@@ -94,3 +158,194 @@ class TestGaussSharded:
                 np.asarray(new_params[k]), np.asarray(ref_params[k]),
                 atol=2e-6, err_msg=k,
             )
+
+
+def _tile_shard_forward(mesh, params, alive, viewmat, intr, compositor="scan",
+                        send_capacity=None):
+    """shard_map'd tile-sharded forward render -> full image (replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpugs.ops.projection import project_gaussians
+    from tpugs.parallel.tile_shard import (
+        assemble_image,
+        exchange_and_render_local,
+        local_raster_config,
+    )
+
+    g = mesh.shape["gauss"]
+    local_cfg = local_raster_config(CFG, g, -(-CFG.pair_capacity // g))
+
+    def impl(params, alive):
+        proj = project_gaussians(
+            params["means"], params["quats"], params["log_scales"],
+            params["opacity_logits"], params["sh"], alive,
+            viewmat, intr, CFG.img_w, CFG.img_h, 1,
+        )
+        cap = send_capacity if send_capacity is not None else alive.shape[0]
+        color_t, _, _, diag = exchange_and_render_local(
+            proj, CFG, local_cfg, g, cap, jnp.zeros((3,)), compositor
+        )
+        return assemble_image(CFG, g, color_t), diag
+
+    gspec = {k: P("gauss") for k in params}
+    mapped = jax.shard_map(
+        impl, mesh=mesh, in_specs=(gspec, P("gauss")),
+        out_specs=(P(), {k: P() for k in
+                         ["send_overflow", "max_send_count", "pair_overflow",
+                          "num_pairs", "max_tile_hits"]}),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(params, alive)
+
+
+def _tile_shard_grads(mesh, params, alive, images, viewmats, intr,
+                      compositor="scan"):
+    from jax.sharding import PartitionSpec as P
+
+    from tpugs.ops.projection import project_gaussians
+    from tpugs.parallel.tile_shard import (
+        assemble_image,
+        exchange_and_render_local,
+        local_raster_config,
+    )
+
+    g = mesh.shape["gauss"]
+    local_cfg = local_raster_config(CFG, g, -(-CFG.pair_capacity // g))
+
+    def impl(params, alive, images, viewmats, intrinsics):
+        def loss_fn(p):
+            proj = project_gaussians(
+                p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
+                p["sh"], alive,
+                viewmats[0], intrinsics[0], CFG.img_w, CFG.img_h, 1,
+            )
+            color_t, _, _, _ = exchange_and_render_local(
+                proj, CFG, local_cfg, g, alive.shape[0], jnp.zeros((3,)),
+                compositor,
+            )
+            color = assemble_image(CFG, g, color_t)
+            return combined_loss(color, images[0], 0.2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.tree.map(lambda t: jax.lax.pmean(t, "data") / g, grads)
+        return grads, loss
+
+    gspec = {k: P("gauss") for k in params}
+    mapped = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(gspec, P("gauss"), P("data"), P("data"), P("data")),
+        out_specs=(gspec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(params, alive, images, viewmats, intr)
+
+
+class TestTileSharded:
+    """Tile-sharded rasterization (SURVEY.md §5.7): gaussians AND tiles
+    sharded over "gauss" with a destination-aware all_to_all exchange; each
+    device bins + composites ONLY its tile rows."""
+
+    # The sharded and single-device programs are separate XLA compilations;
+    # fusion/FMA-contraction decisions differ, so "exact" here means within
+    # 2 ulp of f32 around 1.0 — the same math on the same operand values, not
+    # bitwise-identical executables. (Same pair enumeration, same per-tile
+    # depth order, same global pixel coordinates via row_offset.)
+    ULP2 = 5e-7
+
+    def test_forward_exact(self, scene):
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(1, 8))
+        color, diag = _tile_shard_forward(
+            mesh, params, alive, viewmats[0], intr[0]
+        )
+        ref = render(params["means"], params["quats"], params["log_scales"],
+                     params["opacity_logits"], params["sh"], alive,
+                     viewmats[0], intr[0], CFG, 1, jnp.zeros((3,)))
+        assert not bool(diag["send_overflow"])
+        assert not bool(diag["pair_overflow"])
+        np.testing.assert_allclose(
+            np.asarray(color), np.asarray(ref.color), atol=self.ULP2, rtol=0
+        )
+
+    def test_forward_exact_2x4(self, scene):
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        color, _ = _tile_shard_forward(
+            mesh, params, alive, viewmats[0], intr[0]
+        )
+        ref = render(params["means"], params["quats"], params["log_scales"],
+                     params["opacity_logits"], params["sh"], alive,
+                     viewmats[0], intr[0], CFG, 1, jnp.zeros((3,)))
+        np.testing.assert_allclose(
+            np.asarray(color), np.asarray(ref.color), atol=self.ULP2, rtol=0
+        )
+
+    def test_grad_parity(self, scene):
+        """Raw gradients match the single-device mean-over-views gradient."""
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        b = 2
+        sh_grads, loss = _tile_shard_grads(
+            mesh, params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        ref_loss, ref_grads = reference_grads(
+            params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(sh_grads[k]), np.asarray(ref_grads[k]),
+                rtol=2e-5, atol=1e-8, err_msg=k,
+            )
+
+    def test_train_step_matches_reference(self, scene):
+        from tpugs.parallel.gauss_shard import shard_gauss_state
+        from tpugs.parallel.tile_shard import make_tile_sharded_train_step
+
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        step_fn = make_tile_sharded_train_step(
+            mesh, CFG, AdamConfig(), sh_degree=1, compositor="scan"
+        )
+        p_s, alive_s, adam_s = shard_gauss_state(
+            mesh, params, alive, adam_init(params)
+        )
+        b = 2
+        new_params, new_adam, loss = step_fn(
+            p_s, alive_s, adam_s, images[:b], viewmats[:b], intr[:b],
+            jnp.zeros(()),
+        )
+        ref_params, ref_loss = reference_step(
+            params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(new_params[k]), np.asarray(ref_params[k]),
+                atol=2e-6, err_msg=k,
+            )
+
+    def test_pallas_interpret(self, scene):
+        """The sharded path must run the Pallas kernels (interpret mode on
+        CPU) and agree with the scan compositor."""
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(1, 8))
+        color_p, _ = _tile_shard_forward(
+            mesh, params, alive, viewmats[0], intr[0], compositor="pallas"
+        )
+        color_s, _ = _tile_shard_forward(
+            mesh, params, alive, viewmats[0], intr[0], compositor="scan"
+        )
+        np.testing.assert_allclose(
+            np.asarray(color_p), np.asarray(color_s), atol=1e-5
+        )
+
+    def test_send_capacity_overflow_flag(self, scene):
+        """A too-small exchange capacity must raise the send_overflow flag."""
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(1, 8))
+        _, diag = _tile_shard_forward(
+            mesh, params, alive, viewmats[0], intr[0], send_capacity=1
+        )
+        assert bool(diag["send_overflow"])

@@ -108,13 +108,33 @@ def bin_gaussians(
     tile_w: int,
     tile_h: int,
     pair_capacity: int,
+    tile_row_lo=0,
+    num_tile_rows: int = 0,
 ) -> BinningResult:
-    """Expand Gaussians into a depth-sorted, tile-grouped pair list."""
+    """Expand Gaussians into a depth-sorted, tile-grouped pair list.
+
+    With num_tile_rows > 0 (static), binning is restricted to the tile rows
+    [tile_row_lo, tile_row_lo + num_tile_rows) — tile_row_lo may be a traced
+    scalar — and tile ids in the result are LOCAL to that slice (tile 0 = the
+    slice's first tile). This is the tile-sharded distribution path
+    (parallel/tile_shard.py): each device bins only its slice of the grid, so
+    every [P]-sized op shrinks by the device count. Pixel-exact: a pair lands
+    in exactly one device's slice.
+    """
     ntx = -(-img_w // tile_w)
     nty = -(-img_h // tile_h)
-    num_tiles = ntx * nty
+    if num_tile_rows <= 0:
+        num_tile_rows = nty
+    num_tiles = ntx * num_tile_rows
+    tile_row_lo = jnp.asarray(tile_row_lo, jnp.int32)
+    tile_row_hi = tile_row_lo + num_tile_rows
 
     tx0, ty0, w_tiles, h_tiles = tile_rects(proj, img_w, img_h, tile_w, tile_h)
+    # Clip the rect's tile rows to the local slice; ty0 stays global, the
+    # emitted tile id is made local below.
+    ty1 = jnp.minimum(ty0 + h_tiles, tile_row_hi)
+    ty0 = jnp.maximum(ty0, tile_row_lo)
+    h_tiles = jnp.maximum(ty1 - ty0, 0)
     counts = w_tiles * h_tiles  # [N]
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = offsets[-1] + counts[-1]
@@ -149,8 +169,8 @@ def bin_gaussians(
 
     local = slots - off_g
     tx = tx0_g + local % w_g
-    ty = ty0_g + local // w_g
-    tile_id = (ty * ntx + tx).astype(jnp.int32)
+    ty = ty0_g + local // w_g  # global tile row
+    tile_id = ((ty - tile_row_lo) * ntx + tx).astype(jnp.int32)
 
     # Pixel-exact corner cull: distance from the Gaussian center to the tile's
     # nearest pixel vs the alpha-aware radius (see cull_radius_sq). Culled

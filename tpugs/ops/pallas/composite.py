@@ -133,10 +133,14 @@ def _suffix_sum_incl(m):
     return m
 
 
-def _pixel_coords(cfg: RasterConfig, t):
-    """Per-tile pixel coordinates on the sublane axis: two (PIX, 1) floats."""
+def _pixel_coords(cfg: RasterConfig, t, row_offset):
+    """Per-tile pixel coordinates on the sublane axis: two (PIX, 1) floats.
+
+    row_offset: global tile-row index of tile 0 — nonzero only under the
+    tile-sharded distribution (parallel/tile_shard.py), which composites a
+    slice of the tile grid in global pixel coordinates."""
     tx = t % cfg.ntx
-    ty = t // cfg.ntx
+    ty = t // cfg.ntx + row_offset
     i = jax.lax.broadcasted_iota(jnp.int32, (cfg.pix, 1), 0)
     px = (tx * cfg.tile_w + i % cfg.tile_w).astype(jnp.float32)
     py = (ty * cfg.tile_h + i // cfg.tile_w).astype(jnp.float32)
@@ -176,7 +180,7 @@ def _wave_alpha(attr_w, px, py, base_idx, num):
 
 
 def _fwd_kernel(cfg: RasterConfig,
-                tile_start_ref, tile_stop_ref,  # scalar prefetch [T]
+                tile_start_ref, tile_stop_ref, rowoff_ref,  # scalar prefetch
                 attr_hbm,  # [ATTR_ROWS, P_pad] ANY
                 cr_ref, cg_ref, cb_ref, t_ref, nc_ref, kl_ref,  # (PIX, 1) outs
                 chunk_buf, sems):
@@ -184,7 +188,7 @@ def _fwd_kernel(cfg: RasterConfig,
     start = tile_start_ref[t]
     stop = tile_stop_ref[t]
     num = stop - start
-    px, py = _pixel_coords(cfg, t)
+    px, py = _pixel_coords(cfg, t, rowoff_ref[0])
 
     n_chunks = pl.cdiv(num, CHUNK)
     wpc = CHUNK // WAVE
@@ -304,18 +308,19 @@ def pack_sorted_attrs(pair_gauss, means2d, conic, rgb, opac, p_pad: int):
 
 
 def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
-                             interpret: bool = False):
+                             row_offset=0, interpret: bool = False):
     """Run the forward kernel. sorted_attr [ATTR_ROWS, P_pad].
 
     Returns (color [T, PIX, 3] pre-background, final_T [T, PIX],
     n_contrib [T, PIX], k_last [T, PIX])."""
     num_tiles, pix = cfg.num_tiles, cfg.pix
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape((1,))
 
     tile_block = pl.BlockSpec(
         (None, pix, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[tile_block] * 6,
@@ -337,7 +342,7 @@ def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_at
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tile_start, tile_stop, sorted_attr)
+    )(tile_start, tile_stop, rowoff, sorted_attr)
     color = jnp.concatenate([cr, cg, cb], axis=-1)  # [T, PIX, 3]
     return color, t[..., 0], nc[..., 0], kl[..., 0]
 
@@ -348,7 +353,7 @@ def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_at
 
 
 def _bwd_kernel(cfg: RasterConfig,
-                tile_start_ref, tile_stop_ref,  # scalar prefetch [T]
+                tile_start_ref, tile_stop_ref, rowoff_ref,  # scalar prefetch
                 attr_hbm,  # [ATTR_ROWS, P_pad] ANY
                 dcr_ref, dcg_ref, dcb_ref,  # (PIX, 1) incoming color cotangent
                 r0_ref,  # (PIX, 1) scalar suffix init (bg + d_finalT terms)
@@ -360,7 +365,7 @@ def _bwd_kernel(cfg: RasterConfig,
     start = tile_start_ref[t]
     stop = tile_stop_ref[t]
     num = stop - start
-    px, py = _pixel_coords(cfg, t)
+    px, py = _pixel_coords(cfg, t, rowoff_ref[0])
 
     dcr = dcr_ref[...]  # (PIX, 1)
     dcg = dcg_ref[...]
@@ -538,18 +543,19 @@ def _bwd_kernel(cfg: RasterConfig,
 
 
 def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
-                              d_color_t, r0, final_t, k_last,
+                              d_color_t, r0, final_t, k_last, row_offset=0,
                               interpret: bool = False):
     """Run the backward kernel. d_color_t [T, PIX, 3]; returns per-pair
     gradient rows [ATTR_ROWS, P_pad] (columns past each tile's range zero)."""
     num_tiles, pix = cfg.num_tiles, cfg.pix
     p_pad = sorted_attr.shape[1]
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape((1,))
 
     tile_block = pl.BlockSpec(
         (None, pix, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # attrs
@@ -576,7 +582,7 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        tile_start, tile_stop, sorted_attr,
+        tile_start, tile_stop, rowoff, sorted_attr,
         exp(d_color_t[..., 0]), exp(d_color_t[..., 1]), exp(d_color_t[..., 2]),
         exp(r0), exp(final_t), exp(k_last),
     )
@@ -600,39 +606,42 @@ def _interpret() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def composite_tiles_pallas(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
-                           means2d, conic, rgb, opac, background):
+                           means2d, conic, rgb, opac, background, row_offset=0):
     """Pallas compositor with the same contract as composite_tiles:
-    returns (color [T,PIX,3] incl. background blend, final_T, n_contrib)."""
+    returns (color [T,PIX,3] incl. background blend, final_T, n_contrib).
+
+    row_offset: global tile-row index of tile 0 (tile-sharded path only)."""
     out, _ = _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss,
-                         means2d, conic, rgb, opac, background)
+                         means2d, conic, rgb, opac, background, row_offset)
     return out
 
 
 def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
-                background):
+                background, row_offset=0):
     p_aligned = _p_aligned(cfg)
     astart, astop, aligned_gauss, avalid = align_segments(
         tile_start, tile_stop, pair_gauss, p_aligned
     )
     attr = pack_sorted_attrs(aligned_gauss, means2d, conic, rgb, opac, p_aligned)
     color, t, nc, kl = composite_forward_pallas(
-        cfg, astart, astop, attr, interpret=_interpret()
+        cfg, astart, astop, attr, row_offset, interpret=_interpret()
     )
     color = color + t[..., None] * background[None, None, :]
     res = (astart, astop, aligned_gauss, avalid, attr, t, kl, background,
-           means2d.shape[0])
+           means2d.shape[0], row_offset)
     return (color, t, nc), res
 
 
 def _pallas_bwd(cfg, res, cot):
-    astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n = res
+    (astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n,
+     row_offset) = res
     d_color, d_finalT, _d_nc = cot
 
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
     d_attr = composite_backward_pallas(
-        cfg, astart, astop, attr, d_color, r0, final_t, kl,
+        cfg, astart, astop, attr, d_color, r0, final_t, kl, row_offset,
         interpret=_interpret(),
     )[:NUM_ATTR, :].T  # [P_aligned, 9]
 
@@ -660,6 +669,7 @@ def _pallas_bwd(cfg, res, cot):
         d_rgb,
         d_opac,
         d_bg,
+        np.zeros(np.shape(row_offset), jax.dtypes.float0),  # row_offset
     )
 
 

@@ -85,11 +85,16 @@ class RasterConfig:
         return self.ntx * self.tile_w
 
 
-def _pixel_coords(cfg: RasterConfig):
-    """Per-tile flattened pixel coordinates: two [num_tiles, pix] float arrays."""
+def _pixel_coords(cfg: RasterConfig, row_offset=0):
+    """Per-tile flattened pixel coordinates: two [num_tiles, pix] float arrays.
+
+    row_offset (traced int scalar): global tile-row index of tile 0 — nonzero
+    only under tile-sharded distribution (parallel/tile_shard.py), where each
+    device composites a slice of the tile grid but pixel coordinates must stay
+    in the global image frame for bit-exact parity with single-device."""
     t = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
     tx = (t % cfg.ntx)[:, None]
-    ty = (t // cfg.ntx)[:, None]
+    ty = (t // cfg.ntx)[:, None] + row_offset
     i = jnp.arange(cfg.pix, dtype=jnp.int32)[None, :]
     px = (tx * cfg.tile_w + i % cfg.tile_w).astype(jnp.float32)
     py = (ty * cfg.tile_h + i // cfg.tile_w).astype(jnp.float32)
@@ -135,8 +140,8 @@ def _gather_entry(cfg, k, tile_start, tile_stop, pair_gauss, means2d, conic, rgb
 
 
 def _composite_fwd_impl(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
-                        means2d, conic, rgb, opac, background):
-    px, py = _pixel_coords(cfg)
+                        means2d, conic, rgb, opac, background, row_offset=0):
+    px, py = _pixel_coords(cfg, row_offset)
     T0 = jnp.ones((cfg.num_tiles, cfg.pix), jnp.float32)
     C0 = jnp.zeros((cfg.num_tiles, cfg.pix, 3), jnp.float32)
     nc0 = jnp.zeros((cfg.num_tiles, cfg.pix), jnp.int32)
@@ -164,10 +169,10 @@ def _composite_fwd_impl(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
 
 def _composite_bwd_impl(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
                         means2d, conic, rgb, opac, background,
-                        final_T, klast, d_color, d_finalT):
+                        final_T, klast, d_color, d_finalT, row_offset=0):
     """Analytic reverse-order backward. Returns grads for
     (means2d, conic, rgb, opac, background)."""
-    px, py = _pixel_coords(cfg)
+    px, py = _pixel_coords(cfg, row_offset)
     n = means2d.shape[0]
 
     # Scalar suffix term per pixel: R = sum_c dC_c * S_after_c + d_finalT * T_N
@@ -240,32 +245,39 @@ def _composite_bwd_impl(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def composite_tiles(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
-                    means2d, conic, rgb, opac, background):
+                    means2d, conic, rgb, opac, background, row_offset=0):
     """Composite sorted tile lists. Returns (color [T,pix,3], final_T [T,pix],
-    n_contrib [T,pix]) in tile layout — use tiles_to_image() to assemble."""
+    n_contrib [T,pix]) in tile layout — use tiles_to_image() to assemble.
+
+    row_offset: global tile-row index of tile 0 (see _pixel_coords) — nonzero
+    only on the tile-sharded distribution path."""
     color, T, nc, _ = _composite_fwd_impl(
-        cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac, background
+        cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
+        background, row_offset
     )
     return color, T, nc
 
 
-def _composite_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac, background):
+def _composite_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb,
+                   opac, background, row_offset=0):
     color, T, nc, klast = _composite_fwd_impl(
-        cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac, background
+        cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
+        background, row_offset
     )
-    res = (tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac, background, T, klast)
+    res = (tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
+           background, T, klast, row_offset)
     return (color, T, nc), res
 
 
 def _composite_bwd(cfg, res, cot):
     (tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac, background,
-     final_T, klast) = res
+     final_T, klast, row_offset) = res
     d_color, d_finalT, _d_nc = cot
     dm, dcn, drgb, dop, d_bg = _composite_bwd_impl(
         cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
-        background, final_T, klast, d_color, d_finalT
+        background, final_T, klast, d_color, d_finalT, row_offset
     )
-    zero_i32 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    zero_i32 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
     return (
         zero_i32(tile_start),
         zero_i32(tile_stop),
@@ -275,6 +287,7 @@ def _composite_bwd(cfg, res, cot):
         drgb,
         dop,
         d_bg,
+        zero_i32(row_offset),
     )
 
 

@@ -25,9 +25,12 @@ flagship densifier for the TPU build (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpugs.core import transforms as tf
 from tpugs.optim.lr_schedule import PositionLRConfig, position_lr
@@ -70,6 +73,17 @@ class MCMCConfig:
     # default (upstream 3dgs-mcmc behavior, +0.5 dB on the quality benchmark);
     # 0 = reference-faithful strictly-fixed N.
     grow_factor: float = 0.05
+    # Exact relocation (Kheradmand et al. §3.2 / upstream 3dgs-mcmc
+    # compute_relocation): when a source Gaussian is cloned into n copies,
+    # opacity and scale are corrected so the n overlapping copies render the
+    # same image as the original — o' = 1-(1-o)^(1/n) and sigma scaled by the
+    # binomial moment-matching factor (see relocation_correction). The
+    # reference instead resets targets to opacity 0.01 / scale/10
+    # (mcmc_densification.cpp:113-135), which perturbs the rendered state at
+    # every relocation event. False = reference-faithful behavior.
+    exact_relocation: bool = True
+    # Cap on the per-source copy count in the binomial sum (upstream: 51).
+    relocation_n_max: int = 51
 
     def should_relocate(self, step: int) -> bool:
         return (
@@ -114,6 +128,109 @@ def regularization(cfg: MCMCConfig, params: dict, alive: jnp.ndarray):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _binom_table(n_max: int) -> np.ndarray:
+    """Lower-triangular binomial coefficients B[j, k] = C(j, k)."""
+    b = np.zeros((n_max, n_max), np.float32)
+    for j in range(n_max):
+        for k in range(j + 1):
+            b[j, k] = math.comb(j, k)
+    return b
+
+
+def relocation_correction(opac, scales, ratio, n_max: int = 51):
+    """Exact multi-sample relocation (Kheradmand et al., NeurIPS 2024, §3.2;
+    upstream 3dgs-mcmc compute_relocation kernel): splitting a Gaussian of
+    opacity o and stddev sigma into n identical overlapping copies preserves
+    the rendered image when
+
+        o' = 1 - (1 - o)^(1/n)
+        sigma' = sigma * o / sum_{i=1..n} sum_{k=0..i-1}
+                              C(i-1,k) (-1)^k o'^(k+1) / sqrt(k+1)
+
+    opac [N] activated opacity, scales [N, 3] linear stddevs, ratio [N] int
+    copy counts (>= 1; rows with ratio == 1 pass through unchanged).
+    Returns (new_opac [N], new_scales [N, 3])."""
+    ratio = jnp.clip(ratio, 1, n_max)
+    o = jnp.clip(opac, 1e-6, 1.0 - 1e-6)
+    new_o = 1.0 - jnp.power(1.0 - o, 1.0 / ratio.astype(jnp.float32))
+
+    k = jnp.arange(n_max, dtype=jnp.float32)
+    # term[:, k] = (-1)^k / sqrt(k+1) * o'^(k+1)
+    sign = jnp.where(k.astype(jnp.int32) % 2 == 0, 1.0, -1.0)
+    powers = jnp.power(new_o[:, None], k[None, :] + 1.0)
+    term = powers * (sign / jnp.sqrt(k + 1.0))[None, :]
+    binoms = jnp.asarray(_binom_table(n_max))
+    inner = term @ binoms.T  # inner[:, j] = sum_k C(j,k) term_k
+    j_mask = jnp.arange(n_max)[None, :] < ratio[:, None]
+    denom = jnp.sum(jnp.where(j_mask, inner, 0.0), axis=1)
+    factor = o / jnp.maximum(denom, 1e-12)
+    # ratio == 1 must be an exact no-op (denom analytically equals o there;
+    # enforce it against rounding).
+    one = ratio == 1
+    new_o = jnp.where(one, opac, jnp.clip(new_o, 0.005, 1.0 - 1e-5))
+    new_scales = jnp.where(one[:, None], scales, scales * factor[:, None])
+    return new_o, new_scales
+
+
+def _place_copies(cfg: MCMCConfig, params: dict, opac, living, targets, grant,
+                  src, key_jit, scene_extent: float):
+    """Write source copies into target slots. Shared by relocate() and grow().
+
+    exact_relocation=True (default): targets become EXACT copies of their
+    source (same position) and both source and targets get the binomial
+    opacity/scale correction so the rendered image is preserved
+    (relocation_correction). Sources are included in the changed mask —
+    their Adam moments are stale for the corrected values (upstream 3dgs-mcmc
+    resets optimizer state for sampled sources too).
+
+    exact_relocation=False: the reference's heuristic placement — position
+    jittered by 0.01*extent, scale/10, opacity reset to 0.01
+    (mcmc_densification.cpp:113-135)."""
+    nc = params["means"].shape[0]
+    out = dict(params)
+    out["sh"] = params["sh"].at[targets].set(params["sh"][src], mode="drop")
+    out["quats"] = params["quats"].at[targets].set(params["quats"][src], mode="drop")
+
+    if cfg.exact_relocation:
+        src_used = jnp.where(grant, src, nc)
+        extra = jnp.zeros((nc,), jnp.int32).at[src_used].add(1, mode="drop")
+        ratio = 1 + extra
+        new_op, new_sc = relocation_correction(
+            opac, jnp.exp(params["log_scales"]), ratio, cfg.relocation_n_max
+        )
+        new_logit = jnp.log(new_op) - jnp.log1p(-new_op)
+        new_logsc = jnp.log(jnp.maximum(new_sc, 1e-30))
+        touched_src = living & (extra > 0)
+
+        out["means"] = params["means"].at[targets].set(
+            params["means"][src], mode="drop"
+        )
+        op_new = jnp.where(touched_src, new_logit, params["opacity_logits"])
+        out["opacity_logits"] = op_new.at[targets].set(
+            new_logit[src], mode="drop"
+        )
+        sc_new = jnp.where(touched_src[:, None], new_logsc, params["log_scales"])
+        out["log_scales"] = sc_new.at[targets].set(new_logsc[src], mode="drop")
+        changed = touched_src | jnp.zeros((nc,), bool).at[targets].set(
+            True, mode="drop"
+        )
+    else:
+        jitter = jax.random.normal(key_jit, (nc, 3)) * (0.01 * scene_extent)
+        out["means"] = params["means"].at[targets].set(
+            params["means"][src] + jitter, mode="drop"
+        )
+        out["log_scales"] = params["log_scales"].at[targets].set(
+            params["log_scales"][src] - jnp.log(RELOCATE_SCALE_SHRINK),
+            mode="drop",
+        )
+        out["opacity_logits"] = params["opacity_logits"].at[targets].set(
+            RELOCATE_OPACITY, mode="drop"
+        )
+        changed = jnp.zeros((nc,), bool).at[targets].set(True, mode="drop")
+    return out, changed
+
+
 def relocate(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key, scene_extent: float):
     """One relocation event; shape-stable. Returns (params, changed_mask, stats).
 
@@ -145,21 +262,9 @@ def relocate(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key, scene_exten
     logits = jnp.where(living, jnp.log(jnp.maximum(opac, 1e-12)), -jnp.inf)
     src = jax.random.categorical(key_src, logits, shape=(nc,))  # [Nc] source ids
 
-    jitter = jax.random.normal(key_jit, (nc, 3)) * (0.01 * scene_extent)
-    out = dict(params)
-    out["sh"] = params["sh"].at[targets].set(params["sh"][src], mode="drop")
-    out["quats"] = params["quats"].at[targets].set(params["quats"][src], mode="drop")
-    out["means"] = params["means"].at[targets].set(
-        params["means"][src] + jitter, mode="drop"
+    out, changed = _place_copies(
+        cfg, params, opac, living, targets, grant, src, key_jit, scene_extent
     )
-    out["log_scales"] = params["log_scales"].at[targets].set(
-        params["log_scales"][src] - jnp.log(RELOCATE_SCALE_SHRINK), mode="drop"
-    )
-    out["opacity_logits"] = params["opacity_logits"].at[targets].set(
-        RELOCATE_OPACITY, mode="drop"
-    )
-
-    changed = jnp.zeros((nc,), bool).at[targets].set(True, mode="drop")
     stats = {"num_relocated": n_relocate, "num_dead": n_dead, "num_total": n_total}
     return out, changed, stats
 
@@ -195,19 +300,9 @@ def grow(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key,
     key_src, key_jit = jax.random.split(key)
     logits = jnp.where(living, jnp.log(jnp.maximum(opac, 1e-12)), -jnp.inf)
     src = jax.random.categorical(key_src, logits, shape=(nc,))
-    jitter = jax.random.normal(key_jit, (nc, 3)) * (0.01 * scene_extent)
 
-    out = dict(params)
-    out["sh"] = params["sh"].at[targets].set(params["sh"][src], mode="drop")
-    out["quats"] = params["quats"].at[targets].set(params["quats"][src], mode="drop")
-    out["means"] = params["means"].at[targets].set(
-        params["means"][src] + jitter, mode="drop"
-    )
-    out["log_scales"] = params["log_scales"].at[targets].set(
-        params["log_scales"][src] - jnp.log(RELOCATE_SCALE_SHRINK), mode="drop"
-    )
-    out["opacity_logits"] = params["opacity_logits"].at[targets].set(
-        RELOCATE_OPACITY, mode="drop"
+    out, changed = _place_copies(
+        cfg, params, opac, living, targets, grant, src, key_jit, scene_extent
     )
     written = jnp.zeros((nc,), bool).at[targets].set(True, mode="drop")
-    return out, alive | written, written, n_new
+    return out, alive | written, changed | written, n_new

@@ -88,9 +88,19 @@ def make_gauss_sharded_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Average loss and gradients over the data axis (each data-shard saw a
-        # different view of the same sharded parameters).
+        # different view of the same sharded parameters). The raw shard_map
+        # gradient is d(sum of ALL device losses)/d(local shard): the loss is
+        # replicated within each gauss group (every device computed it from
+        # the same all_gathered attributes), so the all_gather transpose
+        # (psum_scatter) inflates it by the gauss-axis size — divide it back
+        # out. (A single fresh-state Adam step is gradient-scale-invariant,
+        # which is why parity tests must compare raw gradients —
+        # tests/test_parallel.py::test_gauss_shard_grad_parity.)
         loss = jax.lax.pmean(loss, "data")
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
+        gauss_size = mesh.shape["gauss"]
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, "data") / gauss_size, grads
+        )
 
         from tpugs.optim.adam import AdamState
 
