@@ -1,0 +1,103 @@
+"""Distributed Trainer end-to-end on the virtual 8-CPU mesh: the full
+training capability (multi-step scan, ADC/MCMC events, image bank, resume
+artifacts) under a ("data", "gauss") mesh must train the synthetic scene and
+track the single-device trainer's loss (SURVEY.md §2.8 — net-new charter
+axis; there is no reference counterpart)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.synthetic_scene import make_scene
+from tpugs.optim.densify_adc import ADCConfig
+from tpugs.optim.densify_mcmc import MCMCConfig
+from tpugs.train.trainer import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dist_scene"))
+    make_scene(root, num_images=12, width=64, height=48, num_points=80)
+    return root
+
+
+def _cfg(out, **kw):
+    base = dict(
+        iterations=60, sh_degree=1, capacity=128, save_every=0, log_every=20,
+        pair_capacity=1 << 14, max_hits_per_tile=128, tile_h=16, tile_w=16,
+        auto_pair_capacity=False, output_dir=out,
+        adc=ADCConfig(densify_from=20, densify_every=20, densify_until=100),
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestDistTrainer:
+    def test_adc_end_to_end_tracks_single_device(self, scene_dir, tmp_path):
+        logs = []
+        t_single = Trainer(
+            scene_dir, _cfg(str(tmp_path / "single")), log_fn=logs.append
+        )
+        hist_single = t_single.train()
+
+        t_dist = Trainer(
+            scene_dir, _cfg(str(tmp_path / "dist"), mesh="data=2,gauss=4"),
+            log_fn=logs.append,
+        )
+        hist_dist = t_dist.train()
+
+        first = hist_dist[0]["loss"]
+        last = hist_dist[-1]["loss"]
+        assert last < 0.92 * first, (first, last)
+        # Tracks single-device within tolerance (DP sees 2 views/step so it
+        # can legitimately be ahead; it must not be meaningfully behind).
+        assert last < hist_single[-1]["loss"] * 1.25 + 0.02, (
+            last, hist_single[-1]["loss"]
+        )
+        # Densification ran under sharding (N grew past the 80 SfM points).
+        assert int(jnp.sum(t_dist.state.alive)) > 80
+        # Checkpoint artifacts written from sharded state.
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "dist"), "model_0000060.ply")
+        )
+
+    def test_mcmc_relocate_under_mesh(self, scene_dir, tmp_path):
+        cfg = _cfg(
+            str(tmp_path / "mcmc"), densify_mode="mcmc",
+            mesh="data=2,gauss=4",
+            mcmc=MCMCConfig(relocate_from=20, relocate_every=20,
+                            relocate_until=100),
+        )
+        logs = []
+        t = Trainer(scene_dir, cfg, log_fn=logs.append)
+        hist = t.train()
+        assert hist[-1]["loss"] < 0.95 * hist[0]["loss"]
+        # Relocate events fired (logged) without error.
+        assert any("relocate" in l for l in logs if isinstance(l, str))
+
+    def test_multihost_image_bank_matches_direct_loads(self, scene_dir,
+                                                       tmp_path):
+        t = Trainer(
+            scene_dir, _cfg(str(tmp_path / "bank"), mesh="data=4,gauss=2"),
+            log_fn=lambda *_: None,
+        )
+        bank = np.asarray(t._image_bank())
+        order = t._view_order
+        direct = np.stack(
+            [t.dataset.load_train_image(int(i)) for i in order]
+        )
+        np.testing.assert_array_equal(bank, direct.astype(np.float32))
+
+    def test_resume_roundtrip_under_mesh(self, scene_dir, tmp_path):
+        out = str(tmp_path / "resume")
+        cfg = _cfg(out, iterations=40, save_every=20, mesh="data=2,gauss=4")
+        t = Trainer(scene_dir, cfg, log_fn=lambda *_: None)
+        t.train()
+        ckpt = os.path.join(out, "ckpt_0000020.npz")
+        assert os.path.exists(ckpt)
+        t2 = Trainer(scene_dir, cfg, log_fn=lambda *_: None, resume_from=ckpt)
+        assert t2.start_step == 20
+        hist = t2.train()
+        assert hist, "resumed run produced no history"

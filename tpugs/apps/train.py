@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--densify-every", type=int, default=100)
     p.add_argument("--grad-threshold", type=float, default=2e-4)
     p.add_argument("--resume", default=None, help="resume from a ckpt_*.npz")
+    p.add_argument("--mesh", default="",
+                   help="device mesh spec for distributed training, e.g. "
+                        "'data=2,gauss=4' (axis product = device count; "
+                        "gaussians+tiles sharded over gauss, views over data)")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the run (xprof dir)")
     return p
@@ -43,6 +47,12 @@ def main(argv=None):
     if args.mcmc and args.no_densify:
         print("--mcmc and --no-densify are mutually exclusive", file=sys.stderr)
         return 2
+
+    # Multi-host entry (one process per host; SURVEY.md §5.8). No-op unless
+    # TPUGS_DISTRIBUTED=1. Must run before any other JAX use.
+    from tpugs.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed()
 
     from tpugs.optim.densify_adc import ADCConfig
     from tpugs.train.trainer import TrainConfig, Trainer
@@ -70,23 +80,18 @@ def main(argv=None):
         pair_capacity=args.pair_capacity,
         max_hits_per_tile=args.max_hits,
         output_dir=args.output,
+        mesh=args.mesh,
     )
     trainer = Trainer(args.data, cfg, resume_from=args.resume)
+    # history.jsonl (step/loss records; SURVEY.md §5.5) is written
+    # incrementally by Trainer.train so a crash mid-run keeps the prefix.
     if args.trace_dir:
         from tpugs.utils.profiling import trace
 
         with trace(args.trace_dir):
-            history = trainer.train()
+            trainer.train()
     else:
-        history = trainer.train()
-
-    # Metrics history artifact (step/loss records; SURVEY.md §5.5).
-    import json
-    import os
-
-    with open(os.path.join(args.output, "history.jsonl"), "w") as f:
-        for rec in history:
-            f.write(json.dumps(rec) + "\n")
+        trainer.train()
     return 0
 
 

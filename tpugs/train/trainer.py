@@ -71,6 +71,10 @@ class TrainConfig:
     # covered by the headroom factor; overflow is reported in the train log.
     auto_pair_capacity: bool = True
     pair_capacity_headroom: float = 8.0
+    # Device-mesh spec for distributed training, e.g. "data=2,gauss=4"
+    # (parallel/dist_train.py): Gaussian state + tile grid sharded over
+    # "gauss", view bank over "data". Empty = single device.
+    mesh: str = ""
 
 
 @struct.dataclass
@@ -258,10 +262,8 @@ def make_relocate_step(cfg: TrainConfig, scene_extent: float):
     return jax.jit(reloc)
 
 
-@jax.jit
-def _reset_opacity_step(state: TrainState):
+def _reset_opacity_impl(state: TrainState):
     params = reset_opacity(state.params)
-    mask = jnp.ones_like(state.alive)
     # Zero only the opacity moments (fresh logits shouldn't inherit momentum).
     adam = state.adam
     new_m = dict(adam.m)
@@ -269,9 +271,11 @@ def _reset_opacity_step(state: TrainState):
     new_m["opacity_logits"] = jnp.zeros_like(adam.m["opacity_logits"])
     new_v["opacity_logits"] = jnp.zeros_like(adam.v["opacity_logits"])
     adam = AdamState(m=new_m, v=new_v, count=adam.count)
-    del mask
     return TrainState(params=params, alive=state.alive, adam=adam,
                       adc=state.adc, key=state.key)
+
+
+_reset_opacity_step = jax.jit(_reset_opacity_impl)
 
 
 class Trainer:
@@ -284,6 +288,12 @@ class Trainer:
         # (noise = noise_lr * xyz_lr(t) * ...); sync it so a customized
         # AdamConfig.position_lr can't silently drift from the noise schedule.
         if config.mcmc.position_lr != config.adam.position_lr:
+            log_fn(
+                "WARNING: MCMCConfig.position_lr differs from "
+                "AdamConfig.position_lr; overriding the MCMC noise schedule "
+                "with the optimizer's (noise must track the actual xyz LR). "
+                "Customize AdamConfig.position_lr to change both."
+            )
             config = dataclasses.replace(
                 config,
                 mcmc=dataclasses.replace(
@@ -300,8 +310,22 @@ class Trainer:
 
         cam0 = self.dataset.train_cameras[0]
 
+        self.mesh = None
+        if config.mesh:
+            from tpugs.parallel.dist_train import parse_mesh_spec
+
+            self.mesh = parse_mesh_spec(config.mesh)
+            self.log(
+                f"mesh: data={self.mesh.shape['data']} "
+                f"gauss={self.mesh.shape['gauss']} "
+                f"({len(self.mesh.devices.ravel())} devices)"
+            )
+
         n_points = self.dataset.points_xyz.shape[0]
         capacity = max(config.capacity, 1 << int(np.ceil(np.log2(max(n_points, 1)))))
+        if self.mesh is not None:
+            g = self.mesh.shape["gauss"]
+            capacity = -(-capacity // g) * g  # divisible by the gauss axis
         gs = init_from_sfm(
             self.dataset.points_xyz, self.dataset.points_rgb,
             capacity=capacity, max_sh_degree=config.sh_degree,
@@ -342,10 +366,32 @@ class Trainer:
             self.state, self.start_step = load_train_checkpoint(resume_from)
             self.log(f"resumed from {resume_from} at step {self.start_step}")
 
-        self._train_step = make_train_step(config, self.raster, self.scene_extent)
-        self._multi_step = make_train_multi_step(config, self.raster, self.scene_extent)
-        self._densify = make_densify_step(config, self.scene_extent)
-        self._relocate = make_relocate_step(config, self.scene_extent)
+        if self.mesh is None:
+            self._train_step = make_train_step(config, self.raster, self.scene_extent)
+            self._multi_step = make_train_multi_step(config, self.raster, self.scene_extent)
+            self._densify = make_densify_step(config, self.scene_extent)
+            self._relocate = make_relocate_step(config, self.scene_extent)
+            self._reset_opacity = _reset_opacity_step
+        else:
+            from tpugs.parallel.dist_train import (
+                make_dist_densify_step,
+                make_dist_multi_step,
+                make_dist_relocate_step,
+                make_dist_reset_opacity_step,
+                shard_train_state,
+            )
+
+            self._multi_step = make_dist_multi_step(
+                config, self.raster, self.mesh, self.scene_extent
+            )
+            self._densify = make_dist_densify_step(
+                config, self.mesh, self.scene_extent
+            )
+            self._relocate = make_dist_relocate_step(
+                config, self.mesh, self.scene_extent
+            )
+            self._reset_opacity = make_dist_reset_opacity_step(self.mesh)
+            self.state = shard_train_state(self.mesh, self.state)
 
         # Device-resident image bank: [V, H, W, 3]. Uniform camera resolution
         # is required (the common COLMAP case); mixed-size scenes should use
@@ -354,23 +400,64 @@ class Trainer:
         if len(sizes) != 1:
             raise ValueError(f"mixed camera resolutions unsupported: {sizes}")
         self._images = None  # lazy
-        self._viewmats = jnp.asarray(
-            np.stack([c.world_to_camera() for c in self.dataset.train_cameras]),
-            jnp.float32,
-        )
-        self._intrinsics = jnp.asarray(
-            np.stack([c.intrinsics_array() for c in self.dataset.train_cameras]),
-            jnp.float32,
-        )
+        viewmats = np.stack([c.world_to_camera() for c in self.dataset.train_cameras])
+        intrinsics = np.stack([c.intrinsics_array() for c in self.dataset.train_cameras])
+        if self.mesh is not None:
+            # Re-order + pad the view bank so each data row holds a
+            # contiguous block of views_per_row views (wrap-around padding);
+            # sampling draws a uniform LOCAL index per row.
+            d = self.mesh.shape["data"]
+            v = len(self.dataset.train_cameras)
+            self._views_per_row = -(-v // d)
+            order = np.asarray(
+                [(r * self._views_per_row + j) % v
+                 for r in range(d) for j in range(self._views_per_row)]
+            )
+            self._view_order = order
+            viewmats = viewmats[order]
+            intrinsics = intrinsics[order]
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dsh = NamedSharding(self.mesh, P("data"))
+            self._viewmats = jax.device_put(jnp.asarray(viewmats, jnp.float32), dsh)
+            self._intrinsics = jax.device_put(jnp.asarray(intrinsics, jnp.float32), dsh)
+        else:
+            self._viewmats = jnp.asarray(viewmats, jnp.float32)
+            self._intrinsics = jnp.asarray(intrinsics, jnp.float32)
         self._rng = np.random.default_rng(config.seed)
 
     def _image_bank(self):
         if self._images is None:
-            imgs = np.stack(
-                [self.dataset.load_train_image(i) for i in range(self.dataset.num_train())]
-            )
-            self._images = jax.device_put(jnp.asarray(imgs))
+            if self.mesh is not None:
+                self._images = self._image_bank_multihost()
+            else:
+                imgs = np.stack(
+                    [self.dataset.load_train_image(i)
+                     for i in range(self.dataset.num_train())]
+                )
+                self._images = jax.device_put(jnp.asarray(imgs))
         return self._images
+
+    def _image_bank_multihost(self):
+        """Sharded image bank built per-host: each host's callback loads ONLY
+        the views owned by its data rows (jax.make_array_from_callback) —
+        the multi-host data-loading path (SURVEY.md §5.8). Works identically
+        in single-process mesh mode (used by tests)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cam0 = self.dataset.train_cameras[0]
+        v_pad = len(self._view_order)
+        shape = (v_pad, cam0.height, cam0.width, 3)
+        sharding = NamedSharding(self.mesh, P("data"))
+        order = self._view_order
+
+        def cb(index):
+            rows = order[index[0]]
+            return np.stack(
+                [self.dataset.load_train_image(int(i)) for i in rows]
+            ).astype(np.float32)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
 
     def train(self, iterations: Optional[int] = None):
         cfg = self.cfg
@@ -381,6 +468,12 @@ class Trainer:
         t0 = time.perf_counter()
         window_start = t0
         history = []
+        # Incremental metrics artifact: appended + flushed per log event so a
+        # crash mid-run keeps the prefix (SURVEY.md §5.5).
+        import json
+
+        hist_path = os.path.join(cfg.output_dir, "history.jsonl")
+        hist_f = open(hist_path, "a" if self.start_step > 0 else "w")
         k_max = self._effective_steps_per_call()
 
         step = self.start_step
@@ -388,7 +481,15 @@ class Trainer:
             # Block length: aligned to K, never crossing an SH-degree boundary.
             k_blk = k_max - (step % k_max) if step % k_max else k_max
             k_blk = min(k_blk, iters - step, 1000 - step % 1000)
-            vi = self._rng.integers(0, self.dataset.num_train(), size=k_blk)
+            if self.mesh is None:
+                vi = self._rng.integers(0, self.dataset.num_train(), size=k_blk)
+            else:
+                # One LOCAL view index per data row per step (each step
+                # processes d views, camera-batch DP).
+                vi = self._rng.integers(
+                    0, self._views_per_row,
+                    size=(k_blk, self.mesh.shape["data"]),
+                )
             sh_deg = active_sh_degree_for_step(step, cfg.sh_degree)
             self.state, losses, stats = self._multi_step(
                 self.state, images, self._viewmats, self._intrinsics,
@@ -404,7 +505,7 @@ class Trainer:
             for s in range(prev, step):
                 if cfg.densify_mode == "adc":
                     if cfg.adc.should_reset_opacity(s):
-                        self.state = _reset_opacity_step(self.state)
+                        self.state = self._reset_opacity(self.state)
                         self.log(f"[{s}] opacity reset")
                     if cfg.adc.should_densify(s):
                         self.state, dstats = self._densify(
@@ -439,7 +540,11 @@ class Trainer:
                         f"{'OVERFLOW ' if bool(stats.pair_overflow) else ''}"
                         f"{its:.2f} it/s"
                     )
-                    history.append({"step": s, "loss": loss})
+                    rec = {"step": s, "loss": loss, "l1": float(stats.l1),
+                           "n": n_alive}
+                    history.append(rec)
+                    hist_f.write(json.dumps(rec) + "\n")
+                    hist_f.flush()
 
                 if cfg.save_every > 0 and s > 0 and s % cfg.save_every == 0:
                     self.save_checkpoint(s)
@@ -450,6 +555,7 @@ class Trainer:
                         f"SSIM {res.mean_ssim:.4f} ({len(res.images)} views)"
                     )
 
+        hist_f.close()
         self.save_checkpoint(iters)
         total = time.perf_counter() - t0
         done = iters - self.start_step
