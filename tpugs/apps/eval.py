@@ -20,7 +20,9 @@ def main(argv=None):
     p.add_argument("-r", "--resolution-scale", type=int, default=1)
     p.add_argument("-o", "--output", default="metrics.json")
     p.add_argument("--sh-degree", type=int, default=-1, help="-1 = model max")
-    p.add_argument("--tile", type=int, default=16)
+    p.add_argument("--tile", type=int, default=32,
+                   help="tile size (32 matches the tuned train default; 16 "
+                        "renders ~2.2x more pairs)")
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     p.add_argument("--max-hits", type=int, default=2048)
     args = p.parse_args(argv)

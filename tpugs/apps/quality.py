@@ -25,6 +25,13 @@ def main(argv=None):
     p.add_argument("--mcmc", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--jitter", type=float, default=0.0,
+                   help="per-view camera jitter (0-1; breaks single-ring "
+                        "overfit, see utils.gt_scene.write_gt_dataset)")
+    p.add_argument("--rings", type=int, default=1,
+                   help="orbit elevation rings")
+    p.add_argument("--eval-every", type=int, default=0)
+    p.add_argument("--mesh", default="")
     args = p.parse_args(argv)
 
     from tpugs.train.trainer import TrainConfig, Trainer
@@ -37,6 +44,7 @@ def main(argv=None):
     write_gt_dataset(
         scene_dir, model, num_views=args.views,
         width=args.width, height=args.height,
+        jitter=args.jitter, elevation_rings=args.rings,
     )
 
     cfg = TrainConfig(
@@ -45,9 +53,10 @@ def main(argv=None):
         sh_degree=3,
         log_every=args.log_every,
         save_every=0,
-        eval_every=0,
+        eval_every=args.eval_every,
         densify_mode="mcmc" if args.mcmc else "adc",
         output_dir=os.path.join(workdir, "out"),
+        mesh=args.mesh,
     )
     trainer = Trainer(scene_dir, cfg)
     trainer.train(args.iterations)

@@ -209,3 +209,22 @@ def bin_gaussians(
 def max_pairs_per_tile(binning: BinningResult) -> jnp.ndarray:
     """Largest per-tile run length (for choosing/checking K capacity)."""
     return jnp.max(binning.tile_stop - binning.tile_start)
+
+
+def clamp_tile_segments(binning: BinningResult, max_hits: int):
+    """Truncate every tile's segment to its first (front-most) max_hits
+    entries and report the pre-clamp maximum.
+
+    This pins ONE cross-backend truncation semantics: the scan compositor's
+    static K loop and the Pallas kernels' dynamic segment walk both see the
+    same clamped list, so an overloaded tile renders identically everywhere
+    (front-most K win — the depth sort puts the nearest Gaussians first).
+    The reference never truncates (exact realloc, sorting.cu:82-109); here
+    truncation is observable (max_tile_hits / hit overflow in RenderOutput)
+    and the Trainer auto-grows K on overflow.
+
+    Returns (clamped BinningResult, max_tile_hits [] int32)."""
+    hits = binning.tile_stop - binning.tile_start
+    max_tile_hits = jnp.max(hits)
+    stop = jnp.minimum(binning.tile_stop, binning.tile_start + max_hits)
+    return binning.replace(tile_stop=stop), max_tile_hits

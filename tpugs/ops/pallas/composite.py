@@ -322,7 +322,7 @@ def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_at
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[tile_block] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
@@ -415,8 +415,13 @@ def _bwd_kernel(cfg: RasterConfig,
         # Pixels are processed in sub-blocks of <= _PIX_BLOCK sublanes so the
         # live (PIX, WAVE) temporaries fit scoped VMEM for large tiles
         # (32x32 tiles with full-PIX temps exceed the ~16 MB limit).
+        # n_blocks must DIVIDE pix or the tail pixels are never processed
+        # (e.g. --tile 40: pix=1600, ceil gives 7, 7*228=1596) — walk up to
+        # the next divisor (bounded: n_blocks=pix always divides).
         pix = cfg.pix
         n_blocks = -(-pix // _PIX_BLOCK)
+        while pix % n_blocks:
+            n_blocks += 1
         pb = pix // n_blocks
 
         def wave_half(attr_w, pxh, pyh, base_idx, Th, Rh, klh, dcrh, dcgh, dcbh):
@@ -558,7 +563,7 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # attrs
+            pl.BlockSpec(memory_space=pl.ANY),  # attrs
             tile_block,  # dcr
             tile_block,  # dcg
             tile_block,  # dcb
@@ -566,7 +571,7 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
             tile_block,  # final_T
             tile_block,  # k_last
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),

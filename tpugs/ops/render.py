@@ -37,6 +37,8 @@ class RenderOutput:
     visible: jnp.ndarray  # [N] bool
     num_pairs: jnp.ndarray  # [] int32 true pair count
     pair_overflow: jnp.ndarray  # [] bool — pair capacity exceeded
+    max_tile_hits: jnp.ndarray  # [] int32 busiest tile's pre-clamp entries
+    hit_overflow: jnp.ndarray  # [] bool — a tile exceeded max_hits_per_tile
 
 
 def render(
@@ -69,6 +71,12 @@ def render(
     binning = bin_gaussians(
         proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
     )
+    # One truncation semantics for both compositor backends: segments clamped
+    # to the front-most K entries, pre-clamp max reported (see
+    # binning.clamp_tile_segments).
+    from tpugs.ops.binning import clamp_tile_segments
+
+    binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
 
     if compositor == "auto":
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -104,6 +112,8 @@ def render(
         visible=proj.visible,
         num_pairs=binning.num_pairs,
         pair_overflow=binning.overflow,
+        max_tile_hits=max_tile_hits,
+        hit_overflow=max_tile_hits > cfg.max_hits_per_tile,
     )
 
 

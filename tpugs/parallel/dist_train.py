@@ -120,7 +120,9 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
     d = mesh.shape["data"]
     g = mesh.shape["gauss"]
-    local_pair_capacity = -(-raster.pair_capacity // g)
+    from tpugs.parallel.tile_shard import default_local_pair_capacity
+
+    local_pair_capacity = default_local_pair_capacity(raster.pair_capacity, g)
     local_cfg = local_raster_config(raster, g, local_pair_capacity)
     mcmc_mode = cfg.densify_mode == "mcmc"
     adc_mode = cfg.densify_mode == "adc"
@@ -196,13 +198,22 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
                 cfg.mcmc, new_params, state.alive, step, shard_key
             )
 
+        # Diagnostics vary over BOTH axes (different views per data row,
+        # different tile slices per gauss shard) — reduce over both so the
+        # P() out-spec holds: totals summed over shards, worst view reported.
+        max_hits = jax.lax.pmax(diag["max_tile_hits"], ("data", "gauss"))
+        overflow = jax.lax.psum(
+            diag["pair_overflow"].astype(jnp.int32), ("data", "gauss")
+        ) > 0
         stats = StepStats(
             loss=loss,
             l1=jax.lax.pmean(l1, "data"),
-            num_pairs=jax.lax.psum(diag["num_pairs"], "gauss"),
-            pair_overflow=jax.lax.psum(
-                diag["pair_overflow"].astype(jnp.int32), "gauss"
-            ) > 0,
+            num_pairs=jax.lax.pmax(
+                jax.lax.psum(diag["num_pairs"], "gauss"), "data"
+            ),
+            pair_overflow=overflow,
+            max_tile_hits=max_hits,
+            hit_overflow=max_hits > cfg.max_hits_per_tile,
         )
         new_state = TrainState(
             params=new_params, alive=state.alive, adam=new_adam, adc=adc,
@@ -229,7 +240,8 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
         return run
 
     specs = _state_specs(TrainState)
-    stats_spec = StepStats(loss=P(), l1=P(), num_pairs=P(), pair_overflow=P())
+    stats_spec = StepStats(loss=P(), l1=P(), num_pairs=P(), pair_overflow=P(),
+                           max_tile_hits=P(), hit_overflow=P())
 
     @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(0,))
     def stepper(state, images, viewmats, intrinsics, view_idx, step0,

@@ -59,6 +59,15 @@ from tpugs.train.loss import combined_loss
 # Exchange record: x, y, depth, conic a b c, radius, r, g, b, opac, valid.
 EXCHANGE_ATTRS = 12
 
+# Default per-device pair capacity = ceil(global / g) x this: tile rows are
+# not equally loaded (measured 27.3k pairs on the busiest of 8 slices vs a
+# 25.6k even split on the bench scene — scripts/comm_report.py).
+PAIR_IMBALANCE_HEADROOM = 1.5
+
+
+def default_local_pair_capacity(pair_capacity: int, g: int) -> int:
+    return int(-(-pair_capacity // g) * PAIR_IMBALANCE_HEADROOM)
+
 
 def rows_per_device(raster: RasterConfig, g: int) -> int:
     """Tile rows per device (grid padded up to a multiple of g rows)."""
@@ -181,6 +190,11 @@ def exchange_and_render_local(
         work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
         local_cfg.pair_capacity, tile_row_lo=row_lo, num_tile_rows=rpd,
     )
+    from tpugs.ops.binning import clamp_tile_segments
+
+    binning, max_tile_hits = clamp_tile_segments(
+        binning, local_cfg.max_hits_per_tile
+    )
 
     if compositor == "pallas":
         from tpugs.ops.pallas.composite import composite_tiles_pallas as fn
@@ -197,7 +211,7 @@ def exchange_and_render_local(
         "max_send_count": jnp.max(send_counts),
         "pair_overflow": binning.overflow,
         "num_pairs": binning.num_pairs,
-        "max_tile_hits": jnp.max(binning.tile_stop - binning.tile_start),
+        "max_tile_hits": max_tile_hits,
     }
     return color_t, final_t, nc_t, diag
 
@@ -242,7 +256,9 @@ def make_tile_sharded_train_step(
     d = mesh.shape["data"]
     g = mesh.shape["gauss"]
     if local_pair_capacity is None:
-        local_pair_capacity = -(-raster.pair_capacity // g)
+        local_pair_capacity = default_local_pair_capacity(
+            raster.pair_capacity, g
+        )
     local_cfg = local_raster_config(raster, g, local_pair_capacity)
 
     def step_impl(params, alive, adam_m, adam_v, adam_count,

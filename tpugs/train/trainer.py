@@ -75,6 +75,19 @@ class TrainConfig:
     # (parallel/dist_train.py): Gaussian state + tile grid sharded over
     # "gauss", view bank over "data". Empty = single device.
     mesh: str = ""
+    # Runtime HBM watchdog (utils.memory.MemoryWatchdog): checked on the
+    # logging cadence; sustained over-limit readings checkpoint + abort
+    # gracefully (reference: trainer.cpp:343-373). 0 = auto limit from the
+    # device's reported HBM.
+    hbm_watchdog: bool = True
+    hbm_limit_mb: float = 0.0
+    # Capacity-overflow policy. The pair list and per-tile hit count K are
+    # fixed at jit time; when a frame exceeds them pairs are dropped
+    # (front-most-K truncation, binning.clamp_tile_segments). "grow" = re-jit
+    # with enlarged capacities and continue (default; the TPU analogue of the
+    # reference's exact realloc, sorting.cu:145-160); "error" = checkpoint
+    # and raise; "warn" = log and keep truncating.
+    on_overflow: str = "grow"
 
 
 @struct.dataclass
@@ -92,6 +105,8 @@ class StepStats:
     l1: jnp.ndarray
     num_pairs: jnp.ndarray
     pair_overflow: jnp.ndarray
+    max_tile_hits: jnp.ndarray
+    hit_overflow: jnp.ndarray
 
 
 def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float):
@@ -141,7 +156,9 @@ def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float)
 
         l1 = jnp.mean(jnp.abs(out.color - image))
         stats = StepStats(
-            loss=loss, l1=l1, num_pairs=out.num_pairs, pair_overflow=out.pair_overflow
+            loss=loss, l1=l1, num_pairs=out.num_pairs,
+            pair_overflow=out.pair_overflow,
+            max_tile_hits=out.max_tile_hits, hit_overflow=out.hit_overflow,
         )
         new_state = TrainState(
             params=new_params, alive=state.alive, adam=new_adam, adc=adc, key=key
@@ -197,7 +214,9 @@ def make_train_multi_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: 
             new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
         l1 = jnp.mean(jnp.abs(out.color - image))
         stats = StepStats(loss=loss, l1=l1, num_pairs=out.num_pairs,
-                          pair_overflow=out.pair_overflow)
+                          pair_overflow=out.pair_overflow,
+                          max_tile_hits=out.max_tile_hits,
+                          hit_overflow=out.hit_overflow)
         return (
             TrainState(params=new_params, alive=state.alive, adam=new_adam,
                        adc=adc, key=key),
@@ -350,6 +369,16 @@ class Trainer:
             cam0.height, cam0.width, self.dataset.num_train(),
         )
         self.log(f"memory budget: {est}")
+        # Runtime monitor on top of the config-time lower-bound estimate
+        # (autodiff residuals / SSIM buffers / compiler transients are not in
+        # the estimate).
+        self.watchdog = None
+        if config.hbm_watchdog:
+            from tpugs.utils.memory import MemoryWatchdog
+
+            self.watchdog = MemoryWatchdog(
+                limit_mb=config.hbm_limit_mb, log=self.log
+            )
 
         params = gs.params()
         self.state = TrainState(
@@ -367,23 +396,17 @@ class Trainer:
             self.log(f"resumed from {resume_from} at step {self.start_step}")
 
         if self.mesh is None:
-            self._train_step = make_train_step(config, self.raster, self.scene_extent)
-            self._multi_step = make_train_multi_step(config, self.raster, self.scene_extent)
             self._densify = make_densify_step(config, self.scene_extent)
             self._relocate = make_relocate_step(config, self.scene_extent)
             self._reset_opacity = _reset_opacity_step
         else:
             from tpugs.parallel.dist_train import (
                 make_dist_densify_step,
-                make_dist_multi_step,
                 make_dist_relocate_step,
                 make_dist_reset_opacity_step,
                 shard_train_state,
             )
 
-            self._multi_step = make_dist_multi_step(
-                config, self.raster, self.mesh, self.scene_extent
-            )
             self._densify = make_dist_densify_step(
                 config, self.mesh, self.scene_extent
             )
@@ -392,6 +415,7 @@ class Trainer:
             )
             self._reset_opacity = make_dist_reset_opacity_step(self.mesh)
             self.state = shard_train_state(self.mesh, self.state)
+        self._build_render_steps()
 
         # Device-resident image bank: [V, H, W, 3]. Uniform camera resolution
         # is required (the common COLMAP case); mixed-size scenes should use
@@ -425,6 +449,65 @@ class Trainer:
             self._viewmats = jnp.asarray(viewmats, jnp.float32)
             self._intrinsics = jnp.asarray(intrinsics, jnp.float32)
         self._rng = np.random.default_rng(config.seed)
+
+    def _build_render_steps(self):
+        """(Re)build the raster-geometry-dependent jitted steps — called at
+        construction and again by _handle_overflow after growing capacities."""
+        if self.mesh is None:
+            self._train_step = make_train_step(
+                self.cfg, self.raster, self.scene_extent
+            )
+            self._multi_step = make_train_multi_step(
+                self.cfg, self.raster, self.scene_extent
+            )
+        else:
+            from tpugs.parallel.dist_train import make_dist_multi_step
+
+            self._multi_step = make_dist_multi_step(
+                self.cfg, self.raster, self.mesh, self.scene_extent
+            )
+
+    def _handle_overflow(self, stats: StepStats, step: int):
+        """Capacity-overflow policy (TrainConfig.on_overflow). The reference
+        can never drop work — its pair list is exactly sized per frame
+        (reference: sorting.cu:145-160); the fixed-capacity TPU design drops
+        back-most pairs on overflow, so it must be loud and recoverable."""
+        cfg = self.cfg
+        msg = (
+            f"[{step}] OVERFLOW: pairs {int(stats.num_pairs)}"
+            f"/{self.raster.pair_capacity}, busiest tile "
+            f"{int(stats.max_tile_hits)}/{self.raster.max_hits_per_tile} "
+            f"(back-most pairs dropped this block)"
+        )
+        if cfg.on_overflow == "warn":
+            self.log(msg)
+            return
+        if cfg.on_overflow == "error":
+            self.log(msg)
+            self.save_checkpoint(step)
+            raise RuntimeError(msg + " — on_overflow='error', checkpoint saved")
+        # "grow": re-jit with enlarged capacities and continue.
+        new_pairs = self.raster.pair_capacity
+        new_hits = self.raster.max_hits_per_tile
+        if bool(stats.pair_overflow):
+            target = int(1.3 * int(stats.num_pairs))
+            new_pairs = max(new_pairs, -(-target // 512) * 512)
+        if bool(stats.hit_overflow):
+            target = int(1.2 * int(stats.max_tile_hits))
+            new_hits = max(new_hits, -(-target // 128) * 128)
+        if (new_pairs, new_hits) == (
+            self.raster.pair_capacity, self.raster.max_hits_per_tile
+        ):
+            return
+        self.log(
+            msg + f" -> growing pair_capacity "
+            f"{self.raster.pair_capacity}->{new_pairs}, max_hits "
+            f"{self.raster.max_hits_per_tile}->{new_hits} (re-jit)"
+        )
+        self.raster = dataclasses.replace(
+            self.raster, pair_capacity=new_pairs, max_hits_per_tile=new_hits
+        )
+        self._build_render_steps()
 
     def _image_bank(self):
         if self._images is None:
@@ -498,6 +581,9 @@ class Trainer:
             )
             prev, step = step, step + k_blk
 
+            if bool(stats.pair_overflow) or bool(stats.hit_overflow):
+                self._handle_overflow(stats, step)
+
             # Host-side events for every step covered by the block. With K
             # dividing all schedule periods at most one event of each kind
             # fires per block, delayed by < K steps relative to the reference
@@ -546,10 +632,26 @@ class Trainer:
                     hist_f.write(json.dumps(rec) + "\n")
                     hist_f.flush()
 
+                if (self.watchdog is not None and cfg.log_every > 0
+                        and s % cfg.log_every == 0):
+                    self.watchdog.check()
+                    if self.watchdog.should_abort():
+                        self.log(
+                            f"[{s}] HBM over limit "
+                            f"{self.watchdog.max_critical_streak} consecutive "
+                            f"checks — checkpointing and aborting gracefully"
+                        )
+                        self.save_checkpoint(s)
+                        hist_f.close()
+                        return history
+
                 if cfg.save_every > 0 and s > 0 and s % cfg.save_every == 0:
                     self.save_checkpoint(s)
                 if cfg.eval_every > 0 and s > 0 and s % cfg.eval_every == 0:
-                    res = self.evaluate()
+                    # Evaluate at the CURRENT warmup degree, not the final one.
+                    res = self.evaluate(
+                        sh_degree=active_sh_degree_for_step(s, cfg.sh_degree)
+                    )
                     self.log(
                         f"[{s}] eval: PSNR {res.mean_psnr:.2f} dB  "
                         f"SSIM {res.mean_ssim:.4f} ({len(res.images)} views)"
@@ -621,23 +723,34 @@ class Trainer:
             k -= 1
         return max(k, 1)
 
-    def evaluate(self):
+    def evaluate(self, sh_degree: Optional[int] = None):
         """PSNR/SSIM over the dataset's test views with the current model
-        (reference: evaluate(), metrics.cpp:93-163)."""
+        (reference: evaluate(), metrics.cpp:93-163).
+
+        The jitted renderer takes params as arguments (cached per raster
+        config + SH degree across evaluate() calls — closing over params
+        would re-trace on every eval event)."""
         from tpugs.train.metrics import evaluate_views
+
+        deg = self.cfg.sh_degree if sh_degree is None else sh_degree
+        cache_key = (self.raster, deg)
+        if getattr(self, "_eval_render_key", None) != cache_key:
+            raster = self.raster
+
+            @jax.jit
+            def render_view(params, alive, viewmat, intr):
+                out = render(
+                    params["means"], params["quats"], params["log_scales"],
+                    params["opacity_logits"], params["sh"], alive,
+                    viewmat, intr, raster, deg, jnp.zeros((3,)),
+                )
+                return out.color
+
+            self._eval_render = render_view
+            self._eval_render_key = cache_key
 
         p = self.state.params
         alive = self.state.alive
-
-        @jax.jit
-        def render_view(viewmat, intr):
-            out = render(
-                p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
-                p["sh"], alive, viewmat, intr, self.raster, self.cfg.sh_degree,
-                jnp.zeros((3,)),
-            )
-            return out.color
-
         views = []
         for i, cam in enumerate(self.dataset.test_cameras):
             target = self.dataset.load_test_image(i)
@@ -647,7 +760,7 @@ class Trainer:
                  jnp.asarray(cam.intrinsics_array())),
             ))
         return evaluate_views(
-            lambda a: render_view(*a), views,
+            lambda a: self._eval_render(p, alive, *a), views,
             num_gaussians=int(jnp.sum(alive)),
         )
 

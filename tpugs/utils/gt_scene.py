@@ -77,8 +77,15 @@ def write_gt_dataset(
     sparse_points: int = 1500,
     seed: int = 1,
     sh_degree: int = 1,
+    jitter: float = 0.0,
+    elevation_rings: int = 1,
 ):
-    """Render `model` from an orbit and write a complete COLMAP dataset."""
+    """Render `model` from an orbit and write a complete COLMAP dataset.
+
+    jitter > 0 perturbs each view's azimuth/elevation/radius (fraction of the
+    view spacing / ~12 deg / ~8% radius at jitter=1) and elevation_rings > 1
+    alternates orbit heights — both raise the test-PSNR ceiling by breaking
+    the single-ring overfit regime (docs/PERF_NOTES.md quality notes)."""
     rng = np.random.default_rng(seed)
     sparse = os.path.join(root, "sparse", "0")
     images_dir = os.path.join(root, "images")
@@ -110,8 +117,18 @@ def write_gt_dataset(
     cam.elevation = np.radians(elevation_deg)
 
     infos = []
+    base_el = np.radians(elevation_deg)
+    ring_els = [
+        base_el + np.radians(24.0) * r for r in range(elevation_rings)
+    ]
     for i in range(num_views):
-        cam.azimuth = 2 * np.pi * i / num_views
+        spacing = 2 * np.pi / num_views
+        cam.azimuth = spacing * i + jitter * rng.uniform(-0.5, 0.5) * spacing
+        cam.elevation = (
+            ring_els[i % elevation_rings]
+            + jitter * np.radians(12.0) * rng.uniform(-1, 1)
+        )
+        cam.radius = radius * (1.0 + jitter * 0.08 * rng.uniform(-1, 1))
         info = cam.build_camera(width, height)
         img = np.asarray(render_view(
             jnp.asarray(info.world_to_camera(), jnp.float32),

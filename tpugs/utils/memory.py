@@ -73,6 +73,68 @@ def device_memory_stats(device=None) -> dict:
         return {}
 
 
+class MemoryWatchdog:
+    """Runtime HBM monitor with graceful-abort semantics — the TPU analogue
+    of the reference's 5-part OOM-freeze protection (reference:
+    src/training/trainer.cpp:343-373, src/utils/memory_monitor.hpp:25-131).
+
+    The config-time estimate (check_memory_budget) is a lower bound: autodiff
+    residuals, SSIM buffers, and compiler transients are not in it. This
+    watchdog reads live device stats on the Trainer's logging cadence;
+    `max_critical_streak` consecutive readings above the limit trigger a
+    checkpoint-and-abort instead of an XLA OOM (which on shared TPU runtimes
+    can wedge the process the way WDDM wedges the reference's GPU).
+
+    limit_mb=0 auto-derives the limit from the device's reported HBM minus
+    `auto_margin_mb`. On backends without memory stats (CPU) the watchdog is
+    inert unless a `stats_fn` is injected (tests do)."""
+
+    def __init__(self, limit_mb: float = 0.0, auto_margin_mb: float = 600.0,
+                 critical_margin_mb: float = 200.0,
+                 max_critical_streak: int = 5, stats_fn=None, log=print):
+        self._stats_fn = stats_fn or device_memory_stats
+        self.log = log
+        self.max_critical_streak = max_critical_streak
+        self.critical_margin_mb = critical_margin_mb
+        self.streak = 0
+        self.last_used_mb = 0.0
+        if limit_mb > 0:
+            self.limit_mb = limit_mb
+        else:
+            limit = self._stats_fn().get("bytes_limit")
+            if limit:
+                self.limit_mb = limit / (1024 * 1024) - auto_margin_mb
+            else:
+                self.limit_mb = 0.0  # no stats available -> inert
+        self.enabled = self.limit_mb > 0
+
+    def check(self) -> str:
+        """One reading: returns "ok" | "warning" | "critical" and updates the
+        critical streak."""
+        if not self.enabled:
+            return "ok"
+        stats = self._stats_fn()
+        used = stats.get("bytes_in_use")
+        if used is None:
+            return "ok"
+        self.last_used_mb = used / (1024 * 1024)
+        if self.last_used_mb > self.limit_mb:
+            self.streak += 1
+            self.log(
+                f"HBM CRITICAL: {self.last_used_mb:.0f} MB in use > limit "
+                f"{self.limit_mb:.0f} MB (streak "
+                f"{self.streak}/{self.max_critical_streak})"
+            )
+            return "critical"
+        self.streak = 0
+        if self.last_used_mb > self.limit_mb - self.critical_margin_mb:
+            return "warning"
+        return "ok"
+
+    def should_abort(self) -> bool:
+        return self.enabled and self.streak >= self.max_critical_streak
+
+
 def check_memory_budget(capacity: int, sh_coeffs: int, pair_capacity: int,
                         img_h: int, img_w: int, num_cached_images: int,
                         headroom_mb: float = 512.0):

@@ -76,6 +76,10 @@ class ViewerServer:
         means = np.asarray(params["means"])
         self.base_cam = OrbitCamera.from_points(means)
         self.num_gaussians = means.shape[0]
+        # ThreadingHTTPServer handlers share one OfflineRenderer whose
+        # jit-cache dict is mutated per resolution — serialize renders
+        # (concurrent drag requests would race compilation).
+        self._render_lock = threading.Lock()
 
     def render_jpeg(self, req: dict) -> bytes:
         cam = OrbitCamera(
@@ -91,8 +95,9 @@ class ViewerServer:
         w -= w % 16 or 0
         h -= h % 16 or 0
         info = cam.build_camera(max(w, 16), max(h, 16))
-        img = self.renderer.render_camera(info, req.get("mode", "rgb"),
-                                          self.background)
+        with self._render_lock:
+            img = self.renderer.render_camera(info, req.get("mode", "rgb"),
+                                              self.background)
         buf = io.BytesIO()
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             buf, "JPEG", quality=90
