@@ -1,12 +1,15 @@
 """Benchmark: train-step throughput (fwd + bwd + Adam) on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline: the reference's only measured end-to-end number is 0.4 it/s at
-489x272 with 50k Gaussians SH3 on an RTX 3060 (BASELINE.md) = 0.0532 Mpix/s of
-forward+backward training throughput. We report Mpix/s on the same workload
-shape (50k Gaussians, SH degree 3, ~0.13 Mpix view) and vs_baseline against
-0.0532 Mpix/s.
+Primary metric / baseline: the reference's only measured end-to-end number is
+0.4 it/s at 489x272 with 50k Gaussians SH3 on an RTX 3060 (BASELINE.md)
+= 0.0532 Mpix/s of forward+backward training throughput. We report Mpix/s on
+the same workload shape and vs_baseline against that.
+
+"extra" carries a second, garden-30k-shaped configuration (1297x840 ~1.09
+Mpix, 1M Gaussians, ~1.2M pairs/Mpix with converged-scene footprints) — the
+at-scale regime the reference targets but never measured (ROADMAP.md:644).
 """
 from __future__ import annotations
 
@@ -17,31 +20,27 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def measure_config(img_w, img_h, n, pair_capacity, max_hits, scale_range=None,
+                   k=10, rounds=3):
+    """Train-step Mpix/s for one workload shape (honest scan-block clock)."""
     from tpugs.ops.render import RasterConfig, render
     from tpugs.optim.adam import AdamConfig, adam_init, adam_step
     from tpugs.train.loss import combined_loss
     from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
-    img_w, img_h = 489, 272  # the reference benchmark resolution (Truck r=4)
-    n = 50_000
-    # 32x32 tiles: 8x128-lane-shaped, ~174k rect pairs on this scene (2.2x
-    # fewer than 16x16) — every pair-list op scales with capacity, so bigger
-    # tiles + a tight capacity win ~27% (docs/PERF_NOTES.md). Capacity leaves
-    # ~18% headroom over the rect count; overflow is asserted after the run.
     cfg = RasterConfig(
         img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
-        pair_capacity=204800, max_hits_per_tile=1024,
+        pair_capacity=pair_capacity, max_hits_per_tile=max_hits,
     )
-    params = synthetic_params(n, seed=0)
+    kw = {"scale_range": scale_range} if scale_range else {}
+    params = synthetic_params(n, seed=0, **kw)
     alive = jnp.ones((n,), bool)
     viewmat = jnp.eye(4)
     intr = synthetic_intrinsics(img_w, img_h)
     bg = jnp.zeros((3,))
     adam_cfg = AdamConfig()
     adam_state = adam_init(params)
-    rng = jax.random.PRNGKey(0)
-    target = jax.random.uniform(rng, (img_h, img_w, 3))
+    target = jax.random.uniform(jax.random.PRNGKey(0), (img_h, img_w, 3))
 
     # NOTE: deliberately NOT @jax.jit — a nested jit inside lax.scan becomes a
     # closed_call the runtime dispatches per iteration (~40x slowdown here);
@@ -63,8 +62,6 @@ def main():
     # and block_until_ready does not reliably block — a scalar fetch after a
     # scanned multi-step call is the only honest clock. This is also the
     # production shape: the host only intervenes at logging boundaries.)
-    K = 10
-
     def scan_step(carry, step):
         params, adam_state = carry
         params, adam_state, loss = train_step(params, adam_state, step)
@@ -73,38 +70,59 @@ def main():
     @jax.jit
     def run_k(params, adam_state, step0):
         (params, adam_state), losses = jax.lax.scan(
-            scan_step, (params, adam_state), step0 + jnp.arange(K, dtype=jnp.float32)
+            scan_step, (params, adam_state),
+            step0 + jnp.arange(k, dtype=jnp.float32),
         )
         return params, adam_state, losses[-1]
 
     params, adam_state, loss = run_k(params, adam_state, jnp.zeros(()))
     float(loss)  # warmup + compile barrier
 
-    rounds = 3
     t0 = time.perf_counter()
     for r in range(rounds):
         # NB: explicit dtype — a weak-typed scalar here would retrace run_k
         # and put a recompile inside the measured region.
-        step0 = jnp.asarray(K * (r + 1), jnp.float32)
+        step0 = jnp.asarray(k * (r + 1), jnp.float32)
         params, adam_state, loss = run_k(params, adam_state, step0)
         float(loss)
     dt = time.perf_counter() - t0
 
-    # Integrity check: the tight pair capacity must not have overflowed (an
+    # Integrity check: a tight pair capacity must not have overflowed (an
     # overflow silently drops pairs and the benchmark would measure less work
-    # than the baseline comparison assumes). Checked on the final (most
-    # drifted) parameters.
+    # than the comparison assumes). Checked on the final (most drifted)
+    # parameters.
     out = jax.jit(lambda p: render(
         p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
         p["sh"], alive, viewmat, intr, cfg, 3, bg,
     ))(params)
     assert not bool(out.pair_overflow), (
-        f"pair capacity {cfg.pair_capacity} overflowed ({int(out.num_pairs)} pairs)"
+        f"pair capacity {cfg.pair_capacity} overflowed "
+        f"({int(out.num_pairs)} pairs)"
+    )
+    assert not bool(out.hit_overflow), (
+        f"max_hits {cfg.max_hits_per_tile} overflowed "
+        f"({int(out.max_tile_hits)} in busiest tile)"
     )
 
-    its = rounds * K / dt
-    mpix_s = its * img_w * img_h / 1e6
-    baseline_mpix_s = 0.4 * img_w * img_h / 1e6  # reference: 0.4 it/s, same view
+    its = rounds * k / dt
+    return its * img_w * img_h / 1e6, its
+
+
+def main():
+    # Primary: the reference benchmark shape (Truck r=4). 32x32 tiles:
+    # 8x128-lane-shaped, ~174k rect pairs (2.2x fewer than 16x16); capacity
+    # leaves ~18% headroom; overflow asserted after the run.
+    mpix_s, its = measure_config(489, 272, 50_000,
+                                 pair_capacity=204800, max_hits=1024)
+    baseline_mpix_s = 0.4 * 489 * 272 / 1e6  # reference: 0.4 it/s, same view
+
+    # Secondary: garden-30k scale (1297x840, 1M Gaussians, converged-scene
+    # footprints). No reference number exists at this scale.
+    g_mpix_s, g_its = measure_config(
+        1297, 840, 1_000_000, pair_capacity=2 * 1024 * 1024, max_hits=4096,
+        scale_range=(0.002, 0.015), k=5, rounds=2,
+    )
+
     print(
         json.dumps(
             {
@@ -112,6 +130,13 @@ def main():
                 "value": round(mpix_s, 4),
                 "unit": "Mpix/s (fwd+bwd+adam)",
                 "vs_baseline": round(mpix_s / baseline_mpix_s, 2),
+                "extra": {
+                    "garden30k_shape_1297x840_1M_sh3": {
+                        "value": round(g_mpix_s, 4),
+                        "unit": "Mpix/s (fwd+bwd+adam)",
+                        "it_per_s": round(g_its, 2),
+                    }
+                },
             }
         )
     )

@@ -27,11 +27,17 @@ bg = jnp.zeros((3,))
 
 
 def frame(c, it):
-    out = render(params["means"] + c[0], params["quats"], params["log_scales"],
-                 params["opacity_logits"], params["sh"], alive, viewmat, intr,
+    # params ride the carry: closed-over 1M-row arrays (~250 MB) become HLO
+    # constants and blow up the tunneled remote-compile request; the +z
+    # perturbation keeps the stage carry-dependent (hoisting hazard,
+    # docs/PERF_NOTES.md).
+    z, p = c
+    out = render(p["means"] + z, p["quats"], p["log_scales"],
+                 p["opacity_logits"], p["sh"], alive, viewmat, intr,
                  cfg, 3, bg)
-    return (jnp.tanh(jnp.sum(out.color)) * 1e-20,)
+    return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
 
-ms = device_time(frame, (jnp.zeros(()),), k=10, rounds=2) * 1e3
-print(f"1080p 1M-gaussian forward render: {ms:.2f} ms/frame = {1e3/ms:.1f} FPS")
+ms = device_time(frame, (jnp.zeros(()), params), k=10, rounds=2) * 1e3
+print(f"1080p 1M-gaussian forward render: {ms:.2f} ms/frame = {1e3/ms:.1f} FPS",
+      flush=True)

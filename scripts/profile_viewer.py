@@ -15,7 +15,9 @@ img_w, img_h = 1920, 1088
 n = 1_000_000
 cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
                    pair_capacity=1 << 22, max_hits_per_tile=4096)
-params = synthetic_params(n, seed=0)
+# Realistic trained-scene footprints (matches scripts/bench_render.py; the
+# default synthetic scale_range is pathological at 1080p — 19.7M pairs).
+params = synthetic_params(n, seed=0, scale_range=(0.002, 0.015))
 alive = jnp.ones((n,), bool)
 viewmat = jnp.eye(4)
 intr = synthetic_intrinsics(img_w, img_h)
@@ -66,5 +68,14 @@ def s_align(c, it):
 
 stage("align+pack", s_align)
 
-stage("pallas fwd kernel", lambda c, it: (feed(composite_forward_pallas(
-    cfg, astart, astop, attr + c[0])[0]),))
+def s_kernel(c, it):
+    # attr rides the carry: closed-over it would be inlined as a ~280 MB HLO
+    # constant and overflow the tunneled remote-compile request. The +z
+    # perturbation keeps the kernel carry-dependent (hoisting hazard,
+    # docs/PERF_NOTES.md) at the cost of one [16, P] add (~1 ms) per iter.
+    z, at = c
+    out = composite_forward_pallas(cfg, astart, astop, at + z)[0]
+    return (feed(out), at)
+
+ms = device_time(s_kernel, (jnp.zeros(()), attr), k=5, rounds=2) * 1e3
+print(f"{'pallas fwd kernel':28s} {ms:8.2f} ms", flush=True)

@@ -206,6 +206,130 @@ def bin_gaussians(
     )
 
 
+@struct.dataclass
+class AlignedBinningResult:
+    """Sorted pair list in the ALIGNED layout the Pallas kernels stream:
+    every tile's segment starts on an `align`-column boundary of a
+    [p_aligned] slot array (gap slots invalid). Produced directly from the
+    sort — replaces the separate align_segments ownership pass
+    (pallas.composite.align_segments) on the hot path, saving ~3 [P]-sized
+    ops per frame (docs/PERF_NOTES.md: every [P]-op is ~10 ms at 2^20)."""
+
+    pair_gauss: jnp.ndarray  # [P_al] gaussian index (0 where invalid)
+    pair_valid: jnp.ndarray  # [P_al] bool
+    tile_start: jnp.ndarray  # [T] aligned start offsets
+    tile_stop: jnp.ndarray  # [T] aligned stop (start + count)
+    num_pairs: jnp.ndarray  # [] true pre-cull pair count
+    overflow: jnp.ndarray  # [] bool — pair or aligned capacity exceeded
+
+
+def bin_gaussians_aligned(
+    proj: ProjectionOutput,
+    img_w: int,
+    img_h: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+    p_aligned: int,
+    align: int = 128,
+    tile_row_lo=0,
+    num_tile_rows: int = 0,
+) -> AlignedBinningResult:
+    """bin_gaussians, but emitting the kernel-ready aligned layout directly.
+
+    Layout identical to align_segments(bin_gaussians(...)) — pinned by
+    tests/test_binning_aligned.py — at the cost of one extra [T] histogram +
+    one [P] scatter instead of the align pass's [P_al] ownership recompute.
+    """
+    ntx = -(-img_w // tile_w)
+    nty = -(-img_h // tile_h)
+    if num_tile_rows <= 0:
+        num_tile_rows = nty
+    num_tiles = ntx * num_tile_rows
+    tile_row_lo = jnp.asarray(tile_row_lo, jnp.int32)
+    tile_row_hi = tile_row_lo + num_tile_rows
+
+    tx0, ty0, w_tiles, h_tiles = tile_rects(proj, img_w, img_h, tile_w, tile_h)
+    ty1 = jnp.minimum(ty0 + h_tiles, tile_row_hi)
+    ty0 = jnp.maximum(ty0, tile_row_lo)
+    h_tiles = jnp.maximum(ty1 - ty0, 0)
+    counts = w_tiles * h_tiles
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+    r2_cull = cull_radius_sq(proj)
+
+    slots = jnp.arange(pair_capacity, dtype=jnp.int32)
+    ind = jnp.zeros((pair_capacity,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.clip(jnp.cumsum(ind) - 1, 0, counts.shape[0] - 1)
+    in_range = slots < jnp.minimum(total, pair_capacity)
+
+    f32 = jnp.float32
+    table = jnp.stack(
+        [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
+         w_tiles.astype(f32), proj.depths,
+         proj.means2d[:, 0], proj.means2d[:, 1], r2_cull],
+        axis=1,
+    )
+    rows = table[g]
+    off_g = rows[:, 0].astype(jnp.int32)
+    tx0_g = rows[:, 1].astype(jnp.int32)
+    ty0_g = rows[:, 2].astype(jnp.int32)
+    w_g = jnp.maximum(rows[:, 3].astype(jnp.int32), 1)
+
+    local = slots - off_g
+    tx = tx0_g + local % w_g
+    ty = ty0_g + local // w_g
+    tile_id = ((ty - tile_row_lo) * ntx + tx).astype(jnp.int32)
+
+    gx, gy, r2_g = rows[:, 5], rows[:, 6], rows[:, 7]
+    px0 = (tx * tile_w).astype(f32)
+    py0 = (ty * tile_h).astype(f32)
+    dx = jnp.clip(gx, px0, px0 + (tile_w - 1)) - gx
+    dy = jnp.clip(gy, py0, py0 + (tile_h - 1)) - gy
+    hit = dx * dx + dy * dy <= r2_g
+
+    tile_id = jnp.where(in_range & hit, tile_id, num_tiles)
+    depth = jnp.where(in_range & hit, rows[:, 4], jnp.inf)
+
+    sorted_tile, _sd, sorted_g = jax.lax.sort(
+        (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
+    )
+
+    # Post-cull per-tile counts (histogram; sentinel row dropped) -> aligned
+    # segment starts.
+    tcounts = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
+        1, mode="drop"
+    )
+    padded = -(-tcounts // align) * align
+    astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    astop = astart + tcounts
+    aligned_total = astart[-1] + padded[-1]
+
+    # Compact sorted position -> aligned position: shift each tile's run by
+    # (astart - compact start).
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start_c = jnp.searchsorted(sorted_tile, tids, side="left").astype(
+        jnp.int32
+    )
+    delta = astart - tile_start_c  # [T]
+    valid_pair = sorted_tile < num_tiles
+    apos = slots + delta[jnp.clip(sorted_tile, 0, num_tiles - 1)]
+    apos = jnp.where(valid_pair, apos, p_aligned)  # invalid -> dropped
+
+    # One packed scatter: g+1 (0 = empty slot) gives gauss id + validity.
+    packed = jnp.zeros((p_aligned,), jnp.int32).at[apos].set(
+        sorted_g + 1, mode="drop"
+    )
+    return AlignedBinningResult(
+        pair_gauss=jnp.maximum(packed - 1, 0),
+        pair_valid=packed > 0,
+        tile_start=astart,
+        tile_stop=astop,
+        num_pairs=total,
+        overflow=(total > pair_capacity) | (aligned_total > p_aligned),
+    )
+
+
 def max_pairs_per_tile(binning: BinningResult) -> jnp.ndarray:
     """Largest per-tile run length (for choosing/checking K capacity)."""
     return jnp.max(binning.tile_stop - binning.tile_start)

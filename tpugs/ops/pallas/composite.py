@@ -679,3 +679,79 @@ def _pallas_bwd(cfg, res, cot):
 
 
 composite_tiles_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pre-aligned variant: consumes binning.bin_gaussians_aligned's layout
+# directly, skipping the align_segments ownership pass (~3 [P]-sized ops).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_tiles_pallas_pre(cfg: RasterConfig, tile_start, tile_stop,
+                               pair_gauss, pair_valid, means2d, conic, rgb,
+                               opac, background, row_offset=0):
+    """Same contract as composite_tiles_pallas, but tile_start/tile_stop/
+    pair_gauss/pair_valid are already in the kernels' aligned layout
+    (binning.bin_gaussians_aligned with p_aligned = _p_aligned(cfg))."""
+    out, _ = _pallas_pre_fwd(cfg, tile_start, tile_stop, pair_gauss,
+                             pair_valid, means2d, conic, rgb, opac,
+                             background, row_offset)
+    return out
+
+
+def _pallas_pre_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_valid,
+                    means2d, conic, rgb, opac, background, row_offset=0):
+    p_al = pair_gauss.shape[0]
+    # Gap slots hold gaussian 0's attrs (harmless: kernels never read outside
+    # [start, stop) and backward masks on pair_valid).
+    attr = pack_sorted_attrs(pair_gauss, means2d, conic, rgb, opac, p_al)
+    color, t, nc, kl = composite_forward_pallas(
+        cfg, tile_start, tile_stop, attr, row_offset, interpret=_interpret()
+    )
+    color = color + t[..., None] * background[None, None, :]
+    res = (tile_start, tile_stop, pair_gauss, pair_valid, attr, t, kl,
+           background, means2d.shape[0], row_offset)
+    return (color, t, nc), res
+
+
+def _pallas_pre_bwd(cfg, res, cot):
+    (tile_start, tile_stop, pair_gauss, pair_valid, attr, final_t, kl,
+     background, n, row_offset) = res
+    d_color, d_finalT, _d_nc = cot
+
+    dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
+    r0 = (dc_dot_bg + d_finalT) * final_t
+
+    d_attr = composite_backward_pallas(
+        cfg, tile_start, tile_stop, attr, d_color, r0, final_t, kl,
+        row_offset, interpret=_interpret(),
+    )[:NUM_ATTR, :].T  # [P_al, 9]
+
+    valid = pair_valid & (jnp.arange(d_attr.shape[0]) < tile_stop[-1])
+    rows = jnp.where(valid[:, None], d_attr, 0.0)
+    safe_g = jnp.where(valid, pair_gauss, 0)
+    acc = jnp.zeros((n, NUM_ATTR), jnp.float32).at[safe_g].add(rows)
+
+    d_means2d = acc[:, 0:2]
+    d_conic = acc[:, 2:5] * jnp.asarray([-0.5, -1.0, -0.5], acc.dtype)
+    d_opac = acc[:, 5]
+    d_rgb = acc[:, 6:9]
+    d_bg = jnp.einsum("tpc,tp->c", d_color, final_t)
+
+    f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+    return (
+        f0(tile_start),
+        f0(tile_stop),
+        f0(pair_gauss),
+        f0(pair_valid),
+        d_means2d,
+        d_conic,
+        d_rgb,
+        d_opac,
+        d_bg,
+        f0(row_offset),
+    )
+
+
+composite_tiles_pallas_pre.defvjp(_pallas_pre_fwd, _pallas_pre_bwd)

@@ -68,35 +68,33 @@ def render(
     if means2d_probe is not None:
         means2d = means2d + means2d_probe
 
-    binning = bin_gaussians(
-        proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
-    )
     # One truncation semantics for both compositor backends: segments clamped
     # to the front-most K entries, pre-clamp max reported (see
     # binning.clamp_tile_segments).
-    from tpugs.ops.binning import clamp_tile_segments
-
-    binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
+    from tpugs.ops.binning import bin_gaussians_aligned, clamp_tile_segments
 
     if compositor == "auto":
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
+    bg = jnp.asarray(background, jnp.float32)
+    # NOTE on binning layout: bin_gaussians_aligned can emit the kernels'
+    # aligned layout directly (skipping align_segments), but its [P]->[P_al]
+    # scatter measured SLOWER end-to-end than the align pass's gather
+    # formulation (321 vs ~285 ms at 1080p/1M — scatters are the expensive
+    # primitive on TPU, docs/PERF_NOTES.md round-2 negative results), so the
+    # compact path stays.
+    binning = bin_gaussians(
+        proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
+    )
+    binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
     if compositor == "pallas":
         from tpugs.ops.pallas.composite import composite_tiles_pallas
 
         composite_fn = composite_tiles_pallas
     else:
         composite_fn = composite_tiles
-
     color_t, t_t, nc_t = composite_fn(
-        cfg,
-        binning.tile_start,
-        binning.tile_stop,
-        binning.pair_gauss,
-        means2d,
-        proj.conic,
-        proj.rgb,
-        proj.opac,
-        jnp.asarray(background, jnp.float32),
+        cfg, binning.tile_start, binning.tile_stop, binning.pair_gauss,
+        means2d, proj.conic, proj.rgb, proj.opac, bg,
     )
     color = tiles_to_image(cfg, color_t)[: cfg.img_h, : cfg.img_w]
     final_t = tiles_to_image(cfg, t_t)[: cfg.img_h, : cfg.img_w]

@@ -67,6 +67,12 @@ class MCMCConfig:
     # warmup. Calibrated on the GT quality benchmark (1.5k iters): cap
     # 0.5/0.2/0.05 -> PSNR 14.95/17.01/18.73 vs 18.99 with noise off.
     noise_max_sigma: float = 0.05
+    # The cap is a WARMUP guard: past this step the clamp is released and the
+    # paper's unmodified Sigma-scaled noise applies (by then splats have
+    # shrunk to converged sizes and the decayed position LR keeps
+    # displacements small; a permanent clamp would suppress the exploration
+    # the MCMC sampler depends on for real scenes). 0 = clamp forever.
+    noise_clamp_until: int = 5000
     lambda_opacity: float = 0.01
     lambda_scale: float = 0.01
     # Fraction of N added into free capacity per relocate event, enabled by
@@ -107,10 +113,15 @@ def inject_noise(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, step, key):
     eps = gate[:, None] * jax.random.normal(key, params["means"].shape)
     cov3d = tf.compute_cov3d(params["log_scales"], params["quats"])  # [N,3,3]
     noise = lr * jnp.einsum("nij,nj->ni", cov3d, eps)
-    # Norm clamp at noise_max_sigma * sigma_max (see config comment).
+    # Warmup norm clamp at noise_max_sigma * sigma_max (see config comment);
+    # released after noise_clamp_until.
     sigma_max = jnp.exp(jnp.max(params["log_scales"], axis=-1))
     norm = jnp.sqrt(jnp.sum(noise * noise, axis=-1) + 1e-20)
     factor = jnp.minimum(1.0, cfg.noise_max_sigma * sigma_max / norm)
+    if cfg.noise_clamp_until > 0:
+        factor = jnp.where(
+            jnp.asarray(step) < cfg.noise_clamp_until, factor, 1.0
+        )
     noise = noise * factor[:, None]
     out = dict(params)
     out["means"] = params["means"] + jnp.where(alive[:, None], noise, 0.0)
