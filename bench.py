@@ -112,16 +112,18 @@ def main():
     # Primary: the reference benchmark shape (Truck r=4). 32x32 tiles:
     # 8x128-lane-shaped, ~174k rect pairs (2.2x fewer than 16x16); capacity
     # leaves ~18% headroom; overflow asserted after the run.
+    # max_hits must exceed the busiest tile (3578 entries on this scene) or
+    # the front-K clamp truncates the measured workload — asserted above.
     mpix_s, its = measure_config(489, 272, 50_000,
-                                 pair_capacity=204800, max_hits=1024)
+                                 pair_capacity=204800, max_hits=4096)
     baseline_mpix_s = 0.4 * 489 * 272 / 1e6  # reference: 0.4 it/s, same view
 
     # Secondary: garden-30k scale (1297x840, 1M Gaussians, converged-scene
     # footprints). No reference number exists at this scale.
     g_mpix_s, g_its = measure_config(
-        1297, 840, 1_000_000, pair_capacity=2 * 1024 * 1024, max_hits=4096,
+        1297, 840, 1_000_000, pair_capacity=2_453_504, max_hits=8192,
         scale_range=(0.002, 0.015), k=5, rounds=2,
-    )
+    )  # capacity = 1.16x the scene's 2.106M pairs (512-multiple)
 
     print(
         json.dumps(

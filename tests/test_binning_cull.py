@@ -62,15 +62,21 @@ class TestCullExactness:
                             checked += 1
         assert culled > 0, "test scene produced no culled pairs - not probing anything"
 
-    def test_cull_shrinks_segments_but_not_pair_accounting(self):
+    def test_cull_shrinks_segments_and_alpha_rects_shrink_accounting(self):
         n = 200
         proj = _project(n, seed=12)
         binning = bin_gaussians(proj, W, H, TILE, TILE, pair_capacity=1 << 14)
-        _, _, wt, ht = tile_rects(proj, W, H, TILE, TILE)
+        from tpugs.ops.binning import cull_radius_sq
+
+        _, _, wt3, ht3 = tile_rects(proj, W, H, TILE, TILE)  # 3-sigma rects
+        _, _, wt, ht = tile_rects(proj, W, H, TILE, TILE, cull_radius_sq(proj))
+        rect3_pairs = int(jnp.sum(wt3 * ht3))
         rect_pairs = int(jnp.sum(wt * ht))
-        # num_pairs (capacity accounting) stays rect-based
+        # Capacity accounting follows the alpha-aware rects (min(3-sigma,
+        # alpha radius)) — never larger than pure 3-sigma rects.
         assert int(binning.num_pairs) == rect_pairs
-        # but the sorted segments only contain surviving pairs
+        assert rect_pairs <= rect3_pairs
+        # The corner cull shrinks the sorted segments further still.
         seg_total = int(jnp.sum(binning.tile_stop - binning.tile_start))
         assert seg_total <= rect_pairs
         assert seg_total > 0

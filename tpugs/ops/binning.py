@@ -47,17 +47,30 @@ class BinningResult:
     overflow: jnp.ndarray
 
 
-def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int, tile_h: int):
+def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int,
+               tile_h: int, r2_cull=None):
     """Per-Gaussian touched tile rectangle (reference: projection.cu:172-188).
 
     Returns (tx0, ty0, w_tiles, h_tiles) int32 arrays; culled Gaussians get
     zero-area rects.
+
+    With r2_cull (from cull_radius_sq) the rect radius is min(3-sigma,
+    alpha-aware radius) — pixel-exact by the same argument as the corner
+    cull: pixels past the alpha radius have alpha < 1/255 and are skipped by
+    the compositor even inside an included tile, and the 3-sigma bound keeps
+    the reference's rect-granular truncation semantics. Tighter rects mean
+    fewer (tile, gaussian) pairs, which every [P]-sized binning op scales
+    with (low-opacity splats shrink the most — on trained scenes with
+    opacity collapse this is a large reduction).
     """
     ntx = -(-img_w // tile_w)
     nty = -(-img_h // tile_h)
     x = proj.means2d[:, 0]
     y = proj.means2d[:, 1]
     r = proj.radii.astype(jnp.float32)
+    if r2_cull is not None:
+        r_alpha = jnp.sqrt(jnp.minimum(r2_cull, 3.4e38))
+        r = jnp.minimum(r, jnp.ceil(r_alpha))
 
     rect_min_x = jnp.clip(jnp.floor(x - r), 0, img_w).astype(jnp.int32)
     rect_min_y = jnp.clip(jnp.floor(y - r), 0, img_h).astype(jnp.int32)
@@ -129,7 +142,10 @@ def bin_gaussians(
     tile_row_lo = jnp.asarray(tile_row_lo, jnp.int32)
     tile_row_hi = tile_row_lo + num_tile_rows
 
-    tx0, ty0, w_tiles, h_tiles = tile_rects(proj, img_w, img_h, tile_w, tile_h)
+    r2_cull = cull_radius_sq(proj)
+    tx0, ty0, w_tiles, h_tiles = tile_rects(
+        proj, img_w, img_h, tile_w, tile_h, r2_cull
+    )
     # Clip the rect's tile rows to the local slice; ty0 stays global, the
     # emitted tile id is made local below.
     ty1 = jnp.minimum(ty0 + h_tiles, tile_row_hi)
@@ -138,7 +154,6 @@ def bin_gaussians(
     counts = w_tiles * h_tiles  # [N]
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = offsets[-1] + counts[-1]
-    r2_cull = cull_radius_sq(proj)
 
     # Slot -> owning gaussian: largest g with offsets[g] <= slot, computed as
     # cumsum(histogram of offsets) - 1. (A vectorized searchsorted here costs
@@ -249,14 +264,16 @@ def bin_gaussians_aligned(
     tile_row_lo = jnp.asarray(tile_row_lo, jnp.int32)
     tile_row_hi = tile_row_lo + num_tile_rows
 
-    tx0, ty0, w_tiles, h_tiles = tile_rects(proj, img_w, img_h, tile_w, tile_h)
+    r2_cull = cull_radius_sq(proj)
+    tx0, ty0, w_tiles, h_tiles = tile_rects(
+        proj, img_w, img_h, tile_w, tile_h, r2_cull
+    )
     ty1 = jnp.minimum(ty0 + h_tiles, tile_row_hi)
     ty0 = jnp.maximum(ty0, tile_row_lo)
     h_tiles = jnp.maximum(ty1 - ty0, 0)
     counts = w_tiles * h_tiles
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
-    r2_cull = cull_radius_sq(proj)
 
     slots = jnp.arange(pair_capacity, dtype=jnp.int32)
     ind = jnp.zeros((pair_capacity,), jnp.int32).at[offsets].add(1, mode="drop")

@@ -50,10 +50,23 @@ from tpugs.ops.rasterize_tiled import (
 
 WAVE = 128  # entries per vector wave (lane axis)
 CHUNK = 512  # entries per DMA chunk
-_PIX_BLOCK = 256  # max pixel sublanes processed at once in the backward kernel
-# (256, not 512: the live (PB, WAVE) temporaries of both lax.cond branches
-# count against the ~16 MB scoped-VMEM stack; 512 overflows it by ~1 MB at
-# 32x32 tiles.)
+_PIX_BLOCK = 128  # max pixel sublanes processed at once in the backward kernel
+# (the live (PB, WAVE) temporaries of both lax.cond branches count against
+# the ~16 MB scoped-VMEM stack: 512 overflows by ~1 MB at 32x32 tiles and
+# 256 was 496 KB over on the garden-shaped bench config — 128 leaves
+# headroom everywhere at a measured ~4% cost on the primary bench config
+# (~96x vs ~100x baseline; docs/PERF_NOTES.md).
+_PIX_BLOCK_FWD = 1024  # forward-kernel pixel sub-block: 32x32 tiles (1024 px)
+# keep the original single-block codegen; larger tiles split so the live
+# (PB, WAVE) temporaries stay inside scoped VMEM.
+
+
+def _pix_blocks(pix: int, limit: int):
+    """Smallest block count dividing pix with block size <= limit."""
+    n_blocks = -(-pix // limit)
+    while pix % n_blocks:
+        n_blocks += 1
+    return n_blocks, pix // n_blocks
 ALIGN = 128  # per-tile segment alignment (lane-dim DMA offsets must be 128-aligned)
 ATTR_ROWS = 16  # padded attr rows: x, y, ca, cb, cc, opac, r, g, b, (pad)
 NUM_ATTR = 9
@@ -230,33 +243,53 @@ def _fwd_kernel(cfg: RasterConfig,
 
         base = (w % wpc) * WAVE
         attr_w = chunk_buf[slot, :, pl.ds(base, WAVE)]  # (ATTR_ROWS, WAVE)
-        dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
-            attr_w, px, py, w * WAVE, num
-        )
-        a_eff = jnp.where(passes, alpha, 0.0)
-        incl = _prefix_prod_incl(1.0 - a_eff)  # (PIX, WAVE)
-        excl = _lane_shift_right_fill(incl, 1, 1.0)
-
-        T_before = T * excl
-        gate = T_before >= T_THRESHOLD
-        w_px = jnp.where(gate, a_eff * T_before, 0.0)
-
         r_w = attr_w[6:7, :]  # (1, WAVE)
         g_w = attr_w[7:8, :]
         b_w = attr_w[8:9, :]
-        Cr = Cr + jnp.sum(w_px * r_w, axis=1, keepdims=True)
-        Cg = Cg + jnp.sum(w_px * g_w, axis=1, keepdims=True)
-        Cb = Cb + jnp.sum(w_px * b_w, axis=1, keepdims=True)
 
-        # excl is non-increasing along lanes, so the T gate is a prefix:
-        # the post-wave transmittance is T * incl at the last gated lane —
-        # one lane-min instead of a second suffix-product tree.
-        T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=1, keepdims=True)
-        contrib = (a_eff > 0.0) & gate
-        nc = nc + jnp.sum(contrib.astype(jnp.int32), axis=1, keepdims=True)
-        kl = jnp.maximum(
-            kl, jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True)
-        )
+        # Pixel sub-blocks (single block at <= _PIX_BLOCK_FWD pixels; all
+        # per-pixel state is independent, so blocks just concatenate).
+        n_blocks, pb = _pix_blocks(cfg.pix, _PIX_BLOCK_FWD)
+        parts = []
+        for h in range(n_blocks):
+            sl = slice(h * pb, (h + 1) * pb)
+            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha(
+                attr_w, px[sl], py[sl], w * WAVE, num
+            )
+            a_eff = jnp.where(passes, alpha, 0.0)
+            incl = _prefix_prod_incl(1.0 - a_eff)  # (PB, WAVE)
+            excl = _lane_shift_right_fill(incl, 1, 1.0)
+
+            T_before = T[sl] * excl
+            gate = T_before >= T_THRESHOLD
+            w_px = jnp.where(gate, a_eff * T_before, 0.0)
+
+            cr_h = Cr[sl] + jnp.sum(w_px * r_w, axis=1, keepdims=True)
+            cg_h = Cg[sl] + jnp.sum(w_px * g_w, axis=1, keepdims=True)
+            cb_h = Cb[sl] + jnp.sum(w_px * b_w, axis=1, keepdims=True)
+
+            # excl is non-increasing along lanes, so the T gate is a prefix:
+            # the post-wave transmittance is T * incl at the last gated lane
+            # — one lane-min instead of a second suffix-product tree.
+            t_h = T[sl] * jnp.min(
+                jnp.where(gate, incl, 1.0), axis=1, keepdims=True
+            )
+            contrib = (a_eff > 0.0) & gate
+            nc_h = nc[sl] + jnp.sum(
+                contrib.astype(jnp.int32), axis=1, keepdims=True
+            )
+            kl_h = jnp.maximum(
+                kl[sl],
+                jnp.max(jnp.where(contrib, kidx, -1), axis=1, keepdims=True),
+            )
+            parts.append((t_h, cr_h, cg_h, cb_h, nc_h, kl_h))
+
+        if n_blocks == 1:
+            T, Cr, Cg, Cb, nc, kl = parts[0]
+        else:
+            T, Cr, Cg, Cb, nc, kl = (
+                jnp.concatenate(xs, axis=0) for xs in zip(*parts)
+            )
         return (w + 1, T, Cr, Cg, Cb, nc, kl)
 
     pix = cfg.pix
@@ -415,14 +448,11 @@ def _bwd_kernel(cfg: RasterConfig,
         # Pixels are processed in sub-blocks of <= _PIX_BLOCK sublanes so the
         # live (PIX, WAVE) temporaries fit scoped VMEM for large tiles
         # (32x32 tiles with full-PIX temps exceed the ~16 MB limit).
-        # n_blocks must DIVIDE pix or the tail pixels are never processed
-        # (e.g. --tile 40: pix=1600, ceil gives 7, 7*228=1596) — walk up to
-        # the next divisor (bounded: n_blocks=pix always divides).
+        # The block count must DIVIDE pix or the tail pixels are never
+        # processed (e.g. --tile 40: pix=1600, ceil gives 7, 7*228=1596) —
+        # _pix_blocks walks up to the next divisor.
         pix = cfg.pix
-        n_blocks = -(-pix // _PIX_BLOCK)
-        while pix % n_blocks:
-            n_blocks += 1
-        pb = pix // n_blocks
+        n_blocks, pb = _pix_blocks(pix, _PIX_BLOCK)
 
         def wave_half(attr_w, pxh, pyh, base_idx, Th, Rh, klh, dcrh, dcgh, dcbh):
             """One pixel sub-block of one wave. Returns (T', R', grad rows)."""

@@ -67,12 +67,14 @@ class MCMCConfig:
     # warmup. Calibrated on the GT quality benchmark (1.5k iters): cap
     # 0.5/0.2/0.05 -> PSNR 14.95/17.01/18.73 vs 18.99 with noise off.
     noise_max_sigma: float = 0.05
-    # The cap is a WARMUP guard: past this step the clamp is released and the
-    # paper's unmodified Sigma-scaled noise applies (by then splats have
-    # shrunk to converged sizes and the decayed position LR keeps
-    # displacements small; a permanent clamp would suppress the exploration
-    # the MCMC sampler depends on for real scenes). 0 = clamp forever.
-    noise_clamp_until: int = 5000
+    # Optional release step for the cap (0 = clamp forever, the default).
+    # ABLATED on the GT quality benchmark: releasing at step 5000 starts a
+    # death spiral within ~100 steps (dead count 62 -> 3410 -> 17k, train
+    # loss 0.033 -> 0.18) — at mid-schedule the unclamped displacement is
+    # still ~0.4 sigma/step of random walk, which overwhelms re-anchoring on
+    # this scene. The clamp is load-bearing here; revisit only with a real
+    # capture where converged splat statistics may differ.
+    noise_clamp_until: int = 0
     lambda_opacity: float = 0.01
     lambda_scale: float = 0.01
     # Fraction of N added into free capacity per relocate event, enabled by
