@@ -133,3 +133,32 @@ class TestPallasBackward:
             a, b = np.asarray(gp[k]), np.asarray(gs[k])
             scale = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+
+class TestOddTileSizes:
+    """Non-power-of-two tiles exercise the pixel sub-block divisor walk in
+    BOTH kernels (tile 40 => pix 1600: fwd blocks of 800, bwd blocks of 100 —
+    a naive ceil-divide block count would silently skip tail pixels)."""
+
+    CFG40 = RasterConfig(img_h=H, img_w=W, tile_h=40, tile_w=40,
+                         pair_capacity=4096, max_hits_per_tile=256)
+
+    def test_tile40_forward_and_grads(self):
+        params = make_params(60, seed=4)
+        op = run(params, "pallas", cfg=self.CFG40)
+        os_ = run(params, "scan", cfg=self.CFG40)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+
+        def loss(p, comp):
+            out = run(p, comp, cfg=self.CFG40)
+            return jnp.mean(out.color ** 2)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(gp[k]), np.asarray(gs[k]),
+                rtol=1e-4, atol=1e-7, err_msg=k,
+            )
