@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpugs.ops.binning import bin_gaussians
-from tpugs.ops.projection import ProjectionOutput, project_gaussians
+from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig, composite_tiles, tiles_to_image
 
 
@@ -71,7 +71,7 @@ def render(
     # One truncation semantics for both compositor backends: segments clamped
     # to the front-most K entries, pre-clamp max reported (see
     # binning.clamp_tile_segments).
-    from tpugs.ops.binning import bin_gaussians_aligned, clamp_tile_segments
+    from tpugs.ops.binning import clamp_tile_segments
 
     if compositor == "auto":
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"

@@ -15,14 +15,12 @@ unbatched.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpugs.ops.binning import bin_gaussians
-from tpugs.ops.projection import ProjectionOutput, project_gaussians
+from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig, composite_tiles, tiles_to_image
 from tpugs.optim.adam import AdamConfig, adam_step
 from tpugs.train.loss import combined_loss

@@ -28,8 +28,9 @@ local segment-sum, and the color all_gather transposes to a reduce-scatter of
 the image cotangent. Gradients from the d view rows are psum-combined over
 "data"; the raw shard_map gradient is d(sum of all device losses)/dx — with
 the loss replicated inside each gauss group it carries a factor g x d that is
-normalized out explicitly (see _GRAD_SCALE note; tests/test_parallel.py pins
-raw-gradient parity, not just post-Adam parity, against single-device).
+normalized out explicitly in make_tile_sharded_train_step
+(tests/test_parallel.py pins raw-gradient parity, not just post-Adam parity,
+against single-device — a fresh-state Adam step is gradient-scale-invariant).
 
 Compared to parallel/gauss_shard.py (kept as the simpler all-gather design):
 there every device re-ran binning + compositing on the WHOLE image, so the
@@ -39,12 +40,11 @@ charter axis.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpugs.ops.binning import bin_gaussians, tile_rects
 from tpugs.ops.projection import ProjectionOutput, project_gaussians
