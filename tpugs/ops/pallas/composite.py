@@ -50,12 +50,11 @@ from tpugs.ops.rasterize_tiled import (
 
 WAVE = 128  # entries per vector wave (lane axis)
 CHUNK = 512  # entries per DMA chunk
-_PIX_BLOCK = 128  # max pixel sublanes processed at once in the backward kernel
-# (the live (PB, WAVE) temporaries of both lax.cond branches count against
-# the ~16 MB scoped-VMEM stack: 512 overflows by ~1 MB at 32x32 tiles and
-# 256 was 496 KB over on the garden-shaped bench config — 128 leaves
-# headroom everywhere at a measured ~4% cost on the primary bench config
-# (~96x vs ~100x baseline; docs/PERF_NOTES.md).
+_PIX_BLOCK = 256  # max pixel sublanes processed at once in the backward
+# kernel. The live (PB, WAVE) temporaries count against the ~16 MB
+# scoped-VMEM stack; with the dead-wave lax.cond pair removed (zero-fill +
+# dynamic-bound wave loop) 256 fits the garden-shaped bench config that
+# previously overflowed by 496 KB, and 128 costs ~4% on the primary config.
 _PIX_BLOCK_FWD = 1024  # forward-kernel pixel sub-block: 32x32 tiles (1024 px)
 # keep the original single-block codegen; larger tiles split so the live
 # (PB, WAVE) temporaries stay inside scoped VMEM.
@@ -443,7 +442,11 @@ def _bwd_kernel(cfg: RasterConfig,
         def _():
             dma_out(slot, c + 2).wait()
 
-        chunk_active = (c * CHUNK) <= max_kl
+        # Zero-fill the out buffer once; the wave loop below only writes
+        # ACTIVE waves. This replaces the per-wave active/dead lax.cond pair
+        # (and the per-chunk active/inactive cond) whose joint live
+        # temporaries dominated the kernel's scoped-VMEM stack.
+        out_buf[slot, :, :] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
 
         # Pixels are processed in sub-blocks of <= _PIX_BLOCK sublanes so the
         # live (PIX, WAVE) temporaries fit scoped VMEM for large tiles
@@ -453,6 +456,13 @@ def _bwd_kernel(cfg: RasterConfig,
         # _pix_blocks walks up to the next divisor.
         pix = cfg.pix
         n_blocks, pb = _pix_blocks(pix, _PIX_BLOCK)
+
+        # Waves 0..n_active-1 of this chunk hold entries <= max_kl (all
+        # pixels' last contributors); later waves are dead — zero grads,
+        # T/R unchanged — and are skipped entirely (n_active = 0 for fully
+        # dead chunks: the loop is a no-op).
+        wpc_ = CHUNK // WAVE
+        n_active = jnp.clip((max_kl - c * CHUNK) // WAVE + 1, 0, wpc_)
 
         def wave_half(attr_w, pxh, pyh, base_idx, Th, Rh, klh, dcrh, dcgh, dcbh):
             """One pixel sub-block of one wave. Returns (T', R', grad rows)."""
@@ -509,56 +519,38 @@ def _bwd_kernel(cfg: RasterConfig,
             return Th / sp[:, 0:1], Rh + s_incl[:, 0:1], grads
 
         def wave_grads(w_rev, wcarry):
-            w = (CHUNK // WAVE) - 1 - w_rev
+            T_run, R = wcarry
+            w = n_active - 1 - w_rev  # traced wave index (reverse order)
             base = w * WAVE
             base_idx = c * CHUNK + base
 
-            def active_wave(carry):
-                T_run, R = carry
-                attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
-                t_parts, r_parts = [], []
-                grad_acc = None
-                for h in range(n_blocks):
-                    sl = slice(h * pb, (h + 1) * pb)
-                    Th, Rh, grads = wave_half(
-                        attr_w, px[sl], py[sl], base_idx,
-                        T_run[sl], R[sl], kl[sl], dcr[sl], dcg[sl], dcb[sl],
-                    )
-                    t_parts.append(Th)
-                    r_parts.append(Rh)
-                    grad_acc = grads if grad_acc is None else tuple(
-                        a + b for a, b in zip(grad_acc, grads)
-                    )
-
-                grad_w = jnp.concatenate(
-                    list(grad_acc)
-                    + [jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32)],
-                    axis=0,
-                )  # (ATTR_ROWS, WAVE)
-                out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
-
-                T_run = t_parts[0] if n_blocks == 1 else jnp.concatenate(t_parts, 0)
-                R = r_parts[0] if n_blocks == 1 else jnp.concatenate(r_parts, 0)
-                return T_run, R
-
-            def dead_wave(carry):
-                # Entries past every pixel's last contributor: zero grads and
-                # nothing composited, so T/R pass through unchanged.
-                out_buf[slot, :, pl.ds(base, WAVE)] = jnp.zeros(
-                    (ATTR_ROWS, WAVE), jnp.float32
+            attr_w = in_buf[slot, :, pl.ds(base, WAVE)]
+            t_parts, r_parts = [], []
+            grad_acc = None
+            for h in range(n_blocks):
+                sl = slice(h * pb, (h + 1) * pb)
+                Th, Rh, grads = wave_half(
+                    attr_w, px[sl], py[sl], base_idx,
+                    T_run[sl], R[sl], kl[sl], dcr[sl], dcg[sl], dcb[sl],
                 )
-                return carry
+                t_parts.append(Th)
+                r_parts.append(Rh)
+                grad_acc = grads if grad_acc is None else tuple(
+                    a + b for a, b in zip(grad_acc, grads)
+                )
 
-            return jax.lax.cond(base_idx <= max_kl, active_wave, dead_wave, wcarry)
+            grad_w = jnp.concatenate(
+                list(grad_acc)
+                + [jnp.zeros((ATTR_ROWS - NUM_ATTR, WAVE), jnp.float32)],
+                axis=0,
+            )  # (ATTR_ROWS, WAVE)
+            out_buf[slot, :, pl.ds(base, WAVE)] = grad_w
 
-        def active(carry):
-            return jax.lax.fori_loop(0, CHUNK // WAVE, wave_grads, carry)
+            T_run = t_parts[0] if n_blocks == 1 else jnp.concatenate(t_parts, 0)
+            R = r_parts[0] if n_blocks == 1 else jnp.concatenate(r_parts, 0)
+            return T_run, R
 
-        def inactive(carry):
-            out_buf[slot, :, :] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
-            return carry
-
-        T_run, R = jax.lax.cond(chunk_active, active, inactive, (T_run, R))
+        T_run, R = jax.lax.fori_loop(0, n_active, wave_grads, (T_run, R))
         dma_out(slot, c).start()
         return T_run, R
 
