@@ -379,3 +379,24 @@ class TestExactRelocation:
         src_means = np.asarray(params["means"][:8])
         for m in means2:
             assert np.any(np.all(np.isclose(m, src_means, atol=1e-6), axis=1))
+
+
+class TestNoiseWindow:
+    def test_noise_stops_after_relocation_window(self):
+        params, alive = hand_model()
+        cfg = MCMCConfig(relocate_until=100)
+        p_in = inject_noise(cfg, params, alive, jnp.asarray(50.0),
+                            jax.random.PRNGKey(3))
+        p_out = inject_noise(cfg, params, alive, jnp.asarray(101.0),
+                             jax.random.PRNGKey(3))
+        assert np.abs(np.asarray(p_in["means"] - params["means"])).max() > 0
+        np.testing.assert_array_equal(np.asarray(p_out["means"]),
+                                      np.asarray(params["means"]))
+
+    def test_noise_forever_when_disabled(self):
+        params, alive = hand_model()
+        cfg = MCMCConfig(relocate_until=100,
+                         noise_stop_after_relocation=False)
+        p_out = inject_noise(cfg, params, alive, jnp.asarray(101.0),
+                             jax.random.PRNGKey(3))
+        assert np.abs(np.asarray(p_out["means"] - params["means"])).max() > 0

@@ -67,6 +67,13 @@ class MCMCConfig:
     # warmup. Calibrated on the GT quality benchmark (1.5k iters): cap
     # 0.5/0.2/0.05 -> PSNR 14.95/17.01/18.73 vs 18.99 with noise off.
     noise_max_sigma: float = 0.05
+    # Stop noise injection when the relocation window closes (relocate_until).
+    # The reference injects noise every iteration forever
+    # (trainer.cpp:246-266), but exploration without relocation only damages
+    # the converged scene: the 30k GT run declined monotonically after
+    # relocate_until=15000 (24.93 dB @15k -> 23.66 @25k) under a ~0.04 sigma/
+    # step residual random walk. False = reference-faithful noise-forever.
+    noise_stop_after_relocation: bool = True
     # Optional release step for the cap (0 = clamp forever, the default).
     # ABLATED on the GT quality benchmark: releasing at step 5000 starts a
     # death spiral within ~100 steps (dead count 62 -> 3410 -> 17k, train
@@ -123,6 +130,10 @@ def inject_noise(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, step, key):
     if cfg.noise_clamp_until > 0:
         factor = jnp.where(
             jnp.asarray(step) < cfg.noise_clamp_until, factor, 1.0
+        )
+    if cfg.noise_stop_after_relocation:
+        factor = factor * jnp.where(
+            jnp.asarray(step) <= cfg.relocate_until, 1.0, 0.0
         )
     noise = noise * factor[:, None]
     out = dict(params)
