@@ -44,8 +44,11 @@ def bench(th, tw, cap):
           f"ovf {bool(out.pair_overflow)}", flush=True)
 
 
-bench(32, 32, 3_407_872)   # current best
-bench(32, 64, 2_621_440)   # half the tile columns
-bench(64, 32, 2_621_440)
-bench(64, 64, 2_097_152)
-bench(16, 32, 4_718_592)
+# Measured 2026-08-17 (1080p/1M realistic footprints): 32x32 = 221-261 ms
+# best; 16x32 = 291 ms; pix>=2048 tiles fail scoped-VMEM compile regardless
+# of pixel sub-blocking — the (pix, 1) per-pixel carries/outputs are
+# lane-padded 128x by Mosaic (root cause; see composite._fwd_pix_limit and
+# docs/NEXT.md).
+bench(32, 32, 3_407_872)   # reference point
+bench(32, 64, 2_621_440)   # half the tile columns (fails: VMEM, see above)
+bench(64, 64, 2_097_152)   # (fails: VMEM)

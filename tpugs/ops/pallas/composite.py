@@ -55,9 +55,16 @@ _PIX_BLOCK = 256  # max pixel sublanes processed at once in the backward
 # scoped-VMEM stack; with the dead-wave lax.cond pair removed (zero-fill +
 # dynamic-bound wave loop) 256 fits the garden-shaped bench config that
 # previously overflowed by 496 KB, and 128 costs ~4% on the primary config.
-_PIX_BLOCK_FWD = 1024  # forward-kernel pixel sub-block: 32x32 tiles (1024 px)
-# keep the original single-block codegen; larger tiles split so the live
-# (PB, WAVE) temporaries stay inside scoped VMEM.
+def _fwd_pix_limit(pix: int) -> int:
+    """Forward-kernel pixel sub-block limit: tiles up to 1024 px (32x32, the
+    tuned default) keep the original single-block codegen; larger tiles
+    split at 512 px. NOTE: splitting does NOT rescue pix >= 2048 — the
+    scoped-VMEM floor there (~19.9 MB vs the 16 MB limit) comes from the
+    (pix, 1)-shaped per-pixel carries and output blocks, which Mosaic
+    lane-pads 128x (1 MB each at pix 2048). Supporting bigger tiles needs a
+    lane-major per-pixel state layout (pixels on lanes, entries on
+    sublanes), i.e. a transposed kernel geometry — see docs/NEXT.md."""
+    return 1024 if pix <= 1024 else 512
 
 
 def _pix_blocks(pix: int, limit: int):
@@ -246,9 +253,9 @@ def _fwd_kernel(cfg: RasterConfig,
         g_w = attr_w[7:8, :]
         b_w = attr_w[8:9, :]
 
-        # Pixel sub-blocks (single block at <= _PIX_BLOCK_FWD pixels; all
-        # per-pixel state is independent, so blocks just concatenate).
-        n_blocks, pb = _pix_blocks(cfg.pix, _PIX_BLOCK_FWD)
+        # Pixel sub-blocks (single block at <= 1024 pixels; all per-pixel
+        # state is independent, so blocks just concatenate).
+        n_blocks, pb = _pix_blocks(cfg.pix, _fwd_pix_limit(cfg.pix))
         parts = []
         for h in range(n_blocks):
             sl = slice(h * pb, (h + 1) * pb)
