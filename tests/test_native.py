@@ -70,7 +70,9 @@ class TestNativeColmap:
         assert images[1].camera_id == 2
 
     def test_native_ply_matches_python_bytes(self, tmp_path):
-        from tpugs.io.ply import write_gaussian_ply
+        # The numpy writer is the byte-exactness oracle (the public
+        # write_gaussian_ply routes through the native path when available).
+        from tpugs.io.ply import write_gaussian_ply_numpy as write_gaussian_ply
 
         rng = np.random.default_rng(1)
         n, c = 7, 4

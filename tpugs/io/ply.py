@@ -16,7 +16,24 @@ import numpy as np
 
 
 def write_gaussian_ply(path, means, sh, opacity_logits, log_scales, quats):
-    """means [N,3], sh [N,3,C], opacity_logits [N], log_scales [N,3], quats [N,4]."""
+    """means [N,3], sh [N,3,C], opacity_logits [N], log_scales [N,3], quats [N,4].
+
+    Routes through the native C++ writer (native/colmap_io.cpp::
+    tpugs_write_gaussian_ply, the analogue of the reference's native
+    ply_io.cpp) when the library is available; write_gaussian_ply_numpy is
+    the portable fallback and the byte-exactness oracle
+    (tests/test_native.py)."""
+    from tpugs.data import native as _native
+
+    if _native.write_gaussian_ply(path, means, sh, opacity_logits,
+                                  log_scales, quats):
+        return
+    write_gaussian_ply_numpy(path, means, sh, opacity_logits, log_scales,
+                             quats)
+
+
+def write_gaussian_ply_numpy(path, means, sh, opacity_logits, log_scales,
+                             quats):
     means = np.asarray(means, np.float32)
     sh = np.asarray(sh, np.float32)
     op = np.asarray(opacity_logits, np.float32).reshape(-1, 1)
