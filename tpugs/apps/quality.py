@@ -32,6 +32,11 @@ def main(argv=None):
                    help="orbit elevation rings")
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--mesh", default="")
+    p.add_argument("--steps-per-call", type=int, default=25,
+                   help="K steps per jitted scan block; schedule events land "
+                        "up to K-1 steps late vs the reference per-step "
+                        "schedule (1 = exact, slower dispatch) — ablation "
+                        "knob for that skew")
     args = p.parse_args(argv)
 
     from tpugs.train.trainer import TrainConfig, Trainer
@@ -57,6 +62,7 @@ def main(argv=None):
         densify_mode="mcmc" if args.mcmc else "adc",
         output_dir=os.path.join(workdir, "out"),
         mesh=args.mesh,
+        steps_per_call=args.steps_per_call,
     )
     trainer = Trainer(scene_dir, cfg)
     trainer.train(args.iterations)
