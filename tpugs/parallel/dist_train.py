@@ -113,8 +113,14 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
                viewmats [V_pad,4,4], intrinsics [V_pad,4],
                view_idx [K, d] LOCAL view indices per data row, step0,
                sh_degree) -> (state, losses [K], last-step stats dict)
+
+    send_capacity: exchange slots per (src, dst) pair; defaults to
+    cfg.dist_send_capacity when set, else the safe N/gauss bound.
     """
     from tpugs.train.trainer import StepStats, TrainState
+
+    if send_capacity is None and getattr(cfg, "dist_send_capacity", 0) > 0:
+        send_capacity = cfg.dist_send_capacity
 
     if compositor == "auto":
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"

@@ -75,6 +75,11 @@ class TrainConfig:
     # (parallel/dist_train.py): Gaussian state + tile grid sharded over
     # "gauss", view bank over "data". Empty = single device.
     mesh: str = ""
+    # Tile-shard exchange slots per (src, dst) device pair. 0 = the safe
+    # N/gauss default (never overflows, ~57% padding on the bench scene);
+    # tune down from the comm report's measured max_send_count x ~1.3 to cut
+    # all_to_all volume ~2x (scripts/comm_report.py).
+    dist_send_capacity: int = 0
     # Runtime HBM watchdog (utils.memory.MemoryWatchdog): checked on the
     # logging cadence; sustained over-limit readings checkpoint + abort
     # gracefully (reference: trainer.cpp:343-373). 0 = auto limit from the
