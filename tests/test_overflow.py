@@ -120,3 +120,66 @@ class TestTrainerOverflow:
         assert any(f.startswith("ckpt_") for f in os.listdir(out)), (
             "no checkpoint written before abort"
         )
+
+
+class TestOfflineRendererOverflow:
+    """Forward-only paths must be overflow-honest (VERDICT r2 item 3): an
+    undersized OfflineRenderer must grow (never a silently wrong image) or
+    warn loudly per policy."""
+
+    W, H = 64, 48
+
+    def _camera(self):
+        from tpugs.core.camera import CameraInfo
+
+        intr = np.asarray(synthetic_intrinsics(self.W, self.H))
+        return CameraInfo(
+            image_name="t", width=self.W, height=self.H,
+            fx=float(intr[0]), fy=float(intr[1]),
+            cx=float(intr[2]), cy=float(intr[3]),
+            R=np.eye(3), t=np.zeros(3),
+        )
+
+    def _renderer(self, params, **kw):
+        from tpugs.viewer.offline import OfflineRenderer
+
+        return OfflineRenderer(
+            {k: np.asarray(v) for k, v in params.items()}, tile=16, **kw
+        )
+
+    def test_grow_matches_right_sized(self):
+        params, _ = _busy_scene(n=300)
+        logs = []
+        small = self._renderer(
+            params, pair_capacity=256, max_hits=64, log=logs.append
+        )
+        big = self._renderer(params, pair_capacity=1 << 13, max_hits=1024)
+        cam = self._camera()
+        img_small = small.render_camera(cam)
+        img_big = big.render_camera(cam)
+        assert small.pair_capacity > 256, "pair capacity did not grow"
+        assert any("OVERFLOW" in l and "growing" in l for l in logs)
+        np.testing.assert_allclose(img_small, img_big, atol=1e-5)
+
+    def test_warn_mode_warns_once(self):
+        params, _ = _busy_scene(n=300)
+        logs = []
+        r = self._renderer(
+            params, pair_capacity=256, max_hits=64, on_overflow="warn",
+            log=logs.append,
+        )
+        cam = self._camera()
+        r.render_camera(cam)
+        r.render_camera(cam)
+        assert r.pair_capacity == 256
+        warned = [l for l in logs if "OVERFLOW" in l]
+        assert len(warned) == 1, logs
+
+    def test_error_mode_raises(self):
+        params, _ = _busy_scene(n=300)
+        r = self._renderer(
+            params, pair_capacity=256, max_hits=64, on_overflow="error",
+            log=lambda *_: None,
+        )
+        with pytest.raises(RuntimeError, match="OVERFLOW"):
+            r.render_camera(self._camera())

@@ -8,9 +8,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main(argv=None):
@@ -25,49 +23,67 @@ def main(argv=None):
                         "renders ~2.2x more pairs)")
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     p.add_argument("--max-hits", type=int, default=2048)
+    p.add_argument("--on-overflow", choices=["grow", "warn", "error"],
+                   default="grow",
+                   help="capacity-overflow policy: grow = re-jit larger "
+                        "(default), warn = log + truncate, error = raise")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="route every view through the checkify-instrumented "
+                        "compositor (utils.checks.checked_render): slow, "
+                        "raises naming the violated kernel invariant")
     args = p.parse_args(argv)
 
     from tpugs.data.dataset import Dataset
     from tpugs.io.ply import read_gaussian_ply
-    from tpugs.ops.render import RasterConfig, render
     from tpugs.train.metrics import evaluate_views
+    from tpugs.viewer.offline import OfflineRenderer
 
     model = read_gaussian_ply(args.model)
     n = model["means"].shape[0]
-    max_deg = int(round(model["sh"].shape[-1] ** 0.5)) - 1
-    sh_degree = max_deg if args.sh_degree < 0 else min(args.sh_degree, max_deg)
 
     ds = Dataset(args.data, args.resolution_scale)
     if ds.num_test() == 0:
         print("no test cameras", file=sys.stderr)
         return 1
 
-    cam0 = ds.test_cameras[0]
-    cfg = RasterConfig(
-        img_h=cam0.height, img_w=cam0.width, tile_h=args.tile, tile_w=args.tile,
-        pair_capacity=args.pair_capacity, max_hits_per_tile=args.max_hits,
+    # OfflineRenderer owns the overflow honesty: pair/hit overflow on any
+    # view auto-grows capacities and re-renders (never a silently truncated
+    # metric) — or warns/raises per --on-overflow.
+    renderer = OfflineRenderer(
+        model, sh_degree=args.sh_degree, tile=args.tile,
+        pair_capacity=args.pair_capacity, max_hits=args.max_hits,
+        on_overflow=args.on_overflow,
     )
-    params = {k: jnp.asarray(v) for k, v in model.items()}
-    alive = jnp.ones((n,), bool)
+    sh_degree = renderer.sh_degree
     bg = jnp.zeros((3,))
-
-    @jax.jit
-    def render_view(viewmat, intr):
-        out = render(
-            params["means"], params["quats"], params["log_scales"],
-            params["opacity_logits"], params["sh"], alive,
-            viewmat, intr, cfg, sh_degree, bg,
-        )
-        return out.color
 
     views = []
     for i, cam in enumerate(ds.test_cameras):
         target = ds.load_test_image(i)
         vm = jnp.asarray(cam.world_to_camera(), jnp.float32)
         intr = jnp.asarray(cam.intrinsics_array())
-        views.append((cam.image_name, target, (vm, intr)))
+        views.append((cam.image_name, target, (cam.height, cam.width, vm, intr)))
 
-    results = evaluate_views(lambda a: render_view(*a), views, num_gaussians=n)
+    if args.debug_checks:
+        from tpugs.ops.render import RasterConfig
+        from tpugs.utils.checks import checked_render
+
+        def render_view(a):
+            h, w, vm, intr = a
+            cfg = RasterConfig(
+                img_h=h, img_w=w, tile_h=args.tile, tile_w=args.tile,
+                pair_capacity=renderer.pair_capacity,
+                max_hits_per_tile=renderer.max_hits,
+            )
+            return checked_render(
+                renderer.params, renderer.alive, vm, intr, cfg, sh_degree, bg
+            )
+    else:
+        def render_view(a):
+            h, w, vm, intr = a
+            return renderer.render_arrays(h, w, vm, intr, bg)[0]
+
+    results = evaluate_views(render_view, views, num_gaussians=n)
     for r in results.images:
         print(f"  {r.name}: PSNR {r.psnr:.2f} dB  SSIM {r.ssim:.4f}  ({r.render_ms:.1f} ms)")
     print(f"mean: PSNR {results.mean_psnr:.2f} dB  SSIM {results.mean_ssim:.4f}  "

@@ -23,6 +23,14 @@ def main(argv=None):
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--sh-degree", type=int, default=-1)
     p.add_argument("--elevation", type=float, default=15.0)
+    p.add_argument("--tile", type=int, default=32,
+                   help="tile size (32 = tuned default; 16 renders ~2.2x more pairs)")
+    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--max-hits", type=int, default=2048)
+    p.add_argument("--on-overflow", choices=["grow", "warn", "error"],
+                   default="grow",
+                   help="capacity-overflow policy: grow = re-jit larger "
+                        "(default), warn = log + truncate, error = raise")
     args = p.parse_args(argv)
 
     from tpugs.io.ply import read_gaussian_ply
@@ -30,7 +38,11 @@ def main(argv=None):
     from tpugs.viewer.offline import OfflineRenderer
 
     model = read_gaussian_ply(args.model)
-    renderer = OfflineRenderer(model, sh_degree=args.sh_degree)
+    renderer = OfflineRenderer(
+        model, sh_degree=args.sh_degree, tile=args.tile,
+        pair_capacity=args.pair_capacity, max_hits=args.max_hits,
+        on_overflow=args.on_overflow,
+    )
 
     if args.data:
         from tpugs.data.dataset import Dataset

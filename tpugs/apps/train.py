@@ -5,13 +5,15 @@
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 
 def build_parser():
     p = argparse.ArgumentParser("tpugs-train", description="Train 3D Gaussian Splatting on TPU")
     p.add_argument("-d", "--data", required=True, help="COLMAP dataset dir")
+    p.add_argument("-c", "--config", default=None,
+                   help="JSON TrainConfig file (trainer.load_train_config); "
+                        "explicitly-passed CLI flags override its values")
     p.add_argument("-o", "--output", default="output", help="output dir")
     p.add_argument("-i", "--iterations", type=int, default=30000)
     p.add_argument("-r", "--resolution-scale", type=int, default=1)
@@ -42,6 +44,49 @@ def build_parser():
     return p
 
 
+def _given_args(argv):
+    """Parse with SUPPRESS defaults: the namespace holds ONLY the options the
+    user explicitly passed (so a --config file's values are overridden only
+    by flags actually present on the command line)."""
+    p = build_parser()
+    for a in p._actions:
+        a.default = argparse.SUPPRESS
+        a.required = False
+    return set(vars(p.parse_known_args(argv)[0]))
+
+
+def config_from_args(args, given):
+    import dataclasses as dc
+
+    from tpugs.train.trainer import TrainConfig, load_train_config
+
+    cfg = load_train_config(args.config) if args.config else TrainConfig()
+
+    field_map = {  # arg dest -> TrainConfig field
+        "iterations": "iterations", "resolution_scale": "resolution_scale",
+        "sh_degree": "sh_degree", "lambda_ssim": "lambda_ssim",
+        "save_every": "save_every", "log_every": "log_every",
+        "capacity": "capacity", "random_bg": "random_background",
+        "seed": "seed", "pair_capacity": "pair_capacity",
+        "max_hits": "max_hits_per_tile", "output": "output_dir",
+        "mesh": "mesh",
+    }
+    over = {f: getattr(args, a) for a, f in field_map.items() if a in given}
+    if "tile" in given:
+        over["tile_h"] = over["tile_w"] = args.tile
+    if "mcmc" in given or "no_densify" in given or not args.config:
+        over["densify_mode"] = (
+            "mcmc" if args.mcmc else ("none" if args.no_densify else "adc")
+        )
+    adc_map = {"densify_from": "densify_from", "densify_until": "densify_until",
+               "densify_every": "densify_every",
+               "grad_threshold": "grad_threshold"}
+    adc_over = {f: getattr(args, a) for a, f in adc_map.items() if a in given}
+    if adc_over:
+        over["adc"] = dc.replace(cfg.adc, **adc_over)
+    return dc.replace(cfg, **over)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.mcmc and args.no_densify:
@@ -54,34 +99,9 @@ def main(argv=None):
 
     maybe_init_distributed()
 
-    from tpugs.optim.densify_adc import ADCConfig
-    from tpugs.train.trainer import TrainConfig, Trainer
+    from tpugs.train.trainer import Trainer
 
-    mode = "mcmc" if args.mcmc else ("none" if args.no_densify else "adc")
-    cfg = TrainConfig(
-        iterations=args.iterations,
-        resolution_scale=args.resolution_scale,
-        sh_degree=args.sh_degree,
-        lambda_ssim=args.lambda_ssim,
-        save_every=args.save_every,
-        log_every=args.log_every,
-        capacity=args.capacity,
-        random_background=args.random_bg,
-        seed=args.seed,
-        densify_mode=mode,
-        adc=ADCConfig(
-            densify_from=args.densify_from,
-            densify_until=args.densify_until,
-            densify_every=args.densify_every,
-            grad_threshold=args.grad_threshold,
-        ),
-        tile_h=args.tile,
-        tile_w=args.tile,
-        pair_capacity=args.pair_capacity,
-        max_hits_per_tile=args.max_hits,
-        output_dir=args.output,
-        mesh=args.mesh,
-    )
+    cfg = config_from_args(args, _given_args(argv))
     trainer = Trainer(args.data, cfg, resume_from=args.resume)
     # history.jsonl (step/loss records; SURVEY.md §5.5) is written
     # incrementally by Trainer.train so a crash mid-run keeps the prefix.

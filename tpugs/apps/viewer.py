@@ -17,6 +17,14 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--sh-degree", type=int, default=-1)
+    p.add_argument("--tile", type=int, default=32,
+                   help="tile size (32 = tuned default; 16 renders ~2.2x more pairs)")
+    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--max-hits", type=int, default=2048)
+    p.add_argument("--on-overflow", choices=["grow", "warn", "error"],
+                   default="grow",
+                   help="capacity-overflow policy: grow = re-jit larger "
+                        "(default), warn = log + truncate, error = raise")
     args = p.parse_args(argv)
 
     from tpugs.io.ply import read_gaussian_ply
@@ -26,6 +34,8 @@ def main(argv=None):
     server = ViewerServer(
         model, width=args.width, height=args.height,
         background=tuple(args.background), sh_degree=args.sh_degree,
+        tile=args.tile, pair_capacity=args.pair_capacity,
+        max_hits=args.max_hits, on_overflow=args.on_overflow,
     )
     server.serve(args.host, args.port)
     return 0

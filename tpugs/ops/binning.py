@@ -10,8 +10,10 @@ TPU-native redesign:
 - fixed pair capacity P chosen at jit time; the actual pair count is carried
   as a traced scalar and an `overflow` flag (no `.item()` sync — the reference
   syncs on `total_pairs.item<int>()` every frame, sorting.cu:152);
-- slot -> (gaussian, tile) assignment is a vectorized binary search over the
-  exclusive-cumsum offsets (replaces the scatter kernel with a gather);
+- slot -> (gaussian, tile) ownership uses the scatter-histogram + cumsum
+  trick: one scatter-add of offset markers followed by a prefix sum (a
+  vectorized searchsorted over the offsets costs ~35x more on TPU —
+  docs/PERF_NOTES.md measured op table);
 - sorting uses `jax.lax.sort` with two 32-bit keys (tile_id, depth) instead of
   packed uint64 — lexicographic multi-key sort is native in XLA;
 - tile ranges come from two vectorized searchsorted calls over the sorted

@@ -73,10 +73,24 @@ def parse_mesh_spec(spec: str, n_devices: Optional[int] = None) -> Mesh:
             raise ValueError(f"unknown mesh axis {name!r} (use data/gauss)")
         sizes[name] = int(val)
     n = n_devices if n_devices is not None else len(jax.devices())
-    for name in sizes:
-        if sizes[name] == -1:
-            other = [v for k, v in sizes.items() if k != name][0]
-            sizes[name] = n // other
+    inferred = [k for k, v in sizes.items() if v == -1]
+    if len(inferred) > 1:
+        raise ValueError(
+            f"mesh spec {spec!r}: at most one axis may be -1 (inferred)"
+        )
+    if inferred:
+        other = [v for k, v in sizes.items() if k != inferred[0]][0]
+        if other <= 0 or n % other:
+            raise ValueError(
+                f"mesh spec {spec!r}: cannot infer {inferred[0]}=-1 — "
+                f"{n} devices not divisible by {other}"
+            )
+        sizes[inferred[0]] = n // other
+    if sizes["data"] * sizes["gauss"] != n:
+        raise ValueError(
+            f"mesh spec {spec!r}: axis product "
+            f"{sizes['data']}*{sizes['gauss']} != {n} devices"
+        )
     return make_mesh(axis_sizes=(sizes["data"], sizes["gauss"]))
 
 
@@ -211,6 +225,9 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
         overflow = jax.lax.psum(
             diag["pair_overflow"].astype(jnp.int32), ("data", "gauss")
         ) > 0
+        send_of = jax.lax.psum(
+            diag["send_overflow"].astype(jnp.int32), ("data", "gauss")
+        ) > 0
         stats = StepStats(
             loss=loss,
             l1=jax.lax.pmean(l1, "data"),
@@ -220,6 +237,15 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
             pair_overflow=overflow,
             max_tile_hits=max_hits,
             hit_overflow=max_hits > cfg.max_hits_per_tile,
+            # Worst per-device local pair count / exchange send count: the
+            # grow policy must size from these, not the global sum — a single
+            # overloaded tile slice can overflow while global pairs still fit
+            # (Trainer._handle_overflow).
+            max_local_pairs=jax.lax.pmax(diag["num_pairs"], ("data", "gauss")),
+            send_overflow=send_of,
+            max_send_count=jax.lax.pmax(
+                diag["max_send_count"], ("data", "gauss")
+            ),
         )
         new_state = TrainState(
             params=new_params, alive=state.alive, adam=new_adam, adc=adc,
@@ -247,7 +273,9 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
 
     specs = _state_specs(TrainState)
     stats_spec = StepStats(loss=P(), l1=P(), num_pairs=P(), pair_overflow=P(),
-                           max_tile_hits=P(), hit_overflow=P())
+                           max_tile_hits=P(), hit_overflow=P(),
+                           max_local_pairs=P(), send_overflow=P(),
+                           max_send_count=P())
 
     @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(0,))
     def stepper(state, images, viewmats, intrinsics, view_idx, step0,

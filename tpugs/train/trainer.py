@@ -95,6 +95,39 @@ class TrainConfig:
     on_overflow: str = "grow"
 
 
+def train_config_from_dict(d: dict) -> TrainConfig:
+    """Build a TrainConfig from a (possibly partial) JSON-style dict. The
+    nested "adam"/"adc"/"mcmc" sections map to their config dataclasses;
+    unknown keys raise (typo protection). SURVEY.md §5.6: the reference's
+    flag system is argparse-only; this adds the config-file layer."""
+    d = dict(d)
+    kwargs = {}
+    nested = {"adam": AdamConfig, "adc": ADCConfig, "mcmc": MCMCConfig}
+    for name, cls in nested.items():
+        if name in d:
+            sub = d.pop(name)
+            fields = {f.name for f in dataclasses.fields(cls)}
+            unknown = sorted(set(sub) - fields)
+            if unknown:
+                raise ValueError(
+                    f"config section {name!r}: unknown keys {unknown}"
+                )
+            kwargs[name] = cls(**sub)
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    unknown = sorted(set(d) - fields)
+    if unknown:
+        raise ValueError(f"config: unknown keys {unknown}")
+    return TrainConfig(**d, **kwargs)
+
+
+def load_train_config(path: str) -> TrainConfig:
+    """Load a TrainConfig from a JSON file (see train_config_from_dict)."""
+    import json
+
+    with open(path) as f:
+        return train_config_from_dict(json.load(f))
+
+
 @struct.dataclass
 class TrainState:
     params: dict
@@ -112,6 +145,24 @@ class StepStats:
     pair_overflow: jnp.ndarray
     max_tile_hits: jnp.ndarray
     hit_overflow: jnp.ndarray
+    # Mesh-mode extras (single-device: max_local_pairs == num_pairs, no
+    # exchange): worst per-device pair count and tile-shard exchange
+    # diagnostics — the grow policy sizes from the worst DEVICE, not the
+    # global sum (parallel/dist_train.py).
+    max_local_pairs: jnp.ndarray
+    send_overflow: jnp.ndarray
+    max_send_count: jnp.ndarray
+
+
+def _single_device_stats(loss, l1, out) -> "StepStats":
+    return StepStats(
+        loss=loss, l1=l1, num_pairs=out.num_pairs,
+        pair_overflow=out.pair_overflow,
+        max_tile_hits=out.max_tile_hits, hit_overflow=out.hit_overflow,
+        max_local_pairs=out.num_pairs,
+        send_overflow=jnp.zeros((), bool),
+        max_send_count=jnp.zeros((), jnp.int32),
+    )
 
 
 def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float):
@@ -160,11 +211,7 @@ def make_train_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: float)
             new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
 
         l1 = jnp.mean(jnp.abs(out.color - image))
-        stats = StepStats(
-            loss=loss, l1=l1, num_pairs=out.num_pairs,
-            pair_overflow=out.pair_overflow,
-            max_tile_hits=out.max_tile_hits, hit_overflow=out.hit_overflow,
-        )
+        stats = _single_device_stats(loss, l1, out)
         new_state = TrainState(
             params=new_params, alive=state.alive, adam=new_adam, adc=adc, key=key
         )
@@ -218,10 +265,7 @@ def make_train_multi_step(cfg: TrainConfig, raster: RasterConfig, scene_extent: 
         if mcmc_mode:
             new_params = inject_noise(cfg.mcmc, new_params, state.alive, step, noise_key)
         l1 = jnp.mean(jnp.abs(out.color - image))
-        stats = StepStats(loss=loss, l1=l1, num_pairs=out.num_pairs,
-                          pair_overflow=out.pair_overflow,
-                          max_tile_hits=out.max_tile_hits,
-                          hit_overflow=out.hit_overflow)
+        stats = _single_device_stats(loss, l1, out)
         return (
             TrainState(params=new_params, alive=state.alive, adam=new_adam,
                        adc=adc, key=key),
@@ -481,9 +525,15 @@ class Trainer:
         msg = (
             f"[{step}] OVERFLOW: pairs {int(stats.num_pairs)}"
             f"/{self.raster.pair_capacity}, busiest tile "
-            f"{int(stats.max_tile_hits)}/{self.raster.max_hits_per_tile} "
-            f"(back-most pairs dropped this block)"
+            f"{int(stats.max_tile_hits)}/{self.raster.max_hits_per_tile}"
         )
+        if self.mesh is not None:
+            msg += (
+                f", worst device pairs {int(stats.max_local_pairs)}, "
+                f"exchange sends {int(stats.max_send_count)}"
+                f"/{self._effective_send_capacity()}"
+            )
+        msg += " (work dropped this block)"
         if cfg.on_overflow == "warn":
             self.log(msg)
             return
@@ -494,25 +544,65 @@ class Trainer:
         # "grow": re-jit with enlarged capacities and continue.
         new_pairs = self.raster.pair_capacity
         new_hits = self.raster.max_hits_per_tile
+        new_send = cfg.dist_send_capacity
         if bool(stats.pair_overflow):
-            target = int(1.3 * int(stats.num_pairs))
+            if self.mesh is None:
+                target = int(1.3 * int(stats.num_pairs))
+            else:
+                # In mesh mode overflow is raised against the PER-DEVICE
+                # local list (ceil(pair_capacity/g) * headroom); size the
+                # global capacity so the derived local one covers the worst
+                # slice — the global sum can fit while one slice overflows.
+                from tpugs.parallel.tile_shard import PAIR_IMBALANCE_HEADROOM
+
+                g = self.mesh.shape["gauss"]
+                target_local = 1.3 * int(stats.max_local_pairs)
+                target = int(
+                    np.ceil(target_local * g / PAIR_IMBALANCE_HEADROOM)
+                )
             new_pairs = max(new_pairs, -(-target // 512) * 512)
         if bool(stats.hit_overflow):
             target = int(1.2 * int(stats.max_tile_hits))
             new_hits = max(new_hits, -(-target // 128) * 128)
-        if (new_pairs, new_hits) == (
-            self.raster.pair_capacity, self.raster.max_hits_per_tile
-        ):
+        if bool(stats.send_overflow) and cfg.dist_send_capacity > 0:
+            # A tuned-down exchange capacity dropped gaussians in the
+            # all_to_all (tile_shard.build_send_index); grow toward the safe
+            # N/g bound.
+            target = int(1.3 * int(stats.max_send_count))
+            new_send = max(new_send, -(-target // 128) * 128)
+        grew = (new_pairs, new_hits, new_send) != (
+            self.raster.pair_capacity, self.raster.max_hits_per_tile,
+            cfg.dist_send_capacity,
+        )
+        if not grew:
+            # Overflow was reported but no dimension produced a larger
+            # capacity (e.g. transient imbalance already inside the growth
+            # margins): still be loud — truncation persisted this block.
+            self.log(msg + " — capacities unchanged, no growth computed")
             return
         self.log(
             msg + f" -> growing pair_capacity "
             f"{self.raster.pair_capacity}->{new_pairs}, max_hits "
-            f"{self.raster.max_hits_per_tile}->{new_hits} (re-jit)"
+            f"{self.raster.max_hits_per_tile}->{new_hits}"
+            + (f", send_capacity {cfg.dist_send_capacity}->{new_send}"
+               if new_send != cfg.dist_send_capacity else "")
+            + " (re-jit)"
         )
         self.raster = dataclasses.replace(
             self.raster, pair_capacity=new_pairs, max_hits_per_tile=new_hits
         )
+        if new_send != cfg.dist_send_capacity:
+            self.cfg = dataclasses.replace(cfg, dist_send_capacity=new_send)
         self._build_render_steps()
+
+    def _effective_send_capacity(self) -> int:
+        """The exchange slot count make_dist_multi_step will actually use."""
+        if self.mesh is None:
+            return 0
+        if self.cfg.dist_send_capacity > 0:
+            return self.cfg.dist_send_capacity
+        g = self.mesh.shape["gauss"]
+        return self.state.alive.shape[0] // g
 
     def _image_bank(self):
         if self._images is None:
@@ -586,7 +676,8 @@ class Trainer:
             )
             prev, step = step, step + k_blk
 
-            if bool(stats.pair_overflow) or bool(stats.hit_overflow):
+            if (bool(stats.pair_overflow) or bool(stats.hit_overflow)
+                    or bool(stats.send_overflow)):
                 self._handle_overflow(stats, step)
 
             # Host-side events for every step covered by the block. With K

@@ -76,3 +76,37 @@ def checked_composite(cfg, tile_start, tile_stop, pair_gauss, means2d, conic,
     )
     err.throw()
     return out
+
+
+def checked_render(params: dict, alive, viewmat, intrinsics, cfg, sh_degree,
+                   background, compositor: str = "auto"):
+    """Full debug render of one view through checked_composite: projection +
+    binning (plain XLA), then the compositor with invariant checks. Slow
+    (owns its own un-cached checkify/jit boundary) — this is what the CLIs'
+    --debug-checks flag routes through to diagnose a suspect scene.
+
+    Returns the [H, W, 3] color image."""
+    import jax
+
+    from tpugs.ops.binning import bin_gaussians, clamp_tile_segments
+    from tpugs.ops.projection import project_gaussians
+    from tpugs.ops.rasterize_tiled import tiles_to_image
+
+    if compositor == "auto":
+        compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"],
+        params["opacity_logits"], params["sh"], alive,
+        viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree,
+    )
+    binning = bin_gaussians(
+        proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
+    )
+    binning, _max_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
+    color_t, _t, _nc = checked_composite(
+        cfg, binning.tile_start, binning.tile_stop, binning.pair_gauss,
+        proj.means2d, proj.conic, proj.rgb, proj.opac,
+        jnp.asarray(background, jnp.float32), compositor=compositor,
+    )
+    return tiles_to_image(cfg, color_t)[: cfg.img_h, : cfg.img_w]

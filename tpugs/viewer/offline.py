@@ -38,9 +38,28 @@ def turbo_colormap(x: np.ndarray) -> np.ndarray:
     return np.clip(rgb, 0.0, 1.0)
 
 
+def _stderr_log(msg: str):
+    import sys
+
+    print(f"[tpugs.viewer] {msg}", file=sys.stderr)
+
+
 class OfflineRenderer:
+    """Forward-only renderer with the Trainer's overflow honesty: the pair
+    list and per-tile hit count are fixed at jit time, so an undersized
+    capacity silently truncates the image — here every frame's
+    pair_overflow/hit_overflow flags are checked and the renderer either
+    auto-grows + re-jits ("grow", default — the forward analogue of the
+    reference's exact realloc, src/rasterizer/sorting.cu:82-109) or warns
+    loudly ("warn"), never renders silently wrong.
+
+    tile defaults to 32 (the tuned train/eval default; 16 renders ~2.2x more
+    pairs)."""
+
     def __init__(self, params: dict, sh_degree: int = -1,
-                 tile: int = 16, pair_capacity: int = 1 << 21, max_hits: int = 2048):
+                 tile: int = 32, pair_capacity: int = 1 << 21,
+                 max_hits: int = 2048, on_overflow: str = "grow",
+                 log=None):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         n = self.params["means"].shape[0]
         self.alive = jnp.ones((n,), bool)
@@ -49,7 +68,12 @@ class OfflineRenderer:
         self.tile = tile
         self.pair_capacity = pair_capacity
         self.max_hits = max_hits
+        if on_overflow not in ("grow", "warn", "error"):
+            raise ValueError(f"unknown on_overflow policy {on_overflow!r}")
+        self.on_overflow = on_overflow
+        self.log = log if log is not None else _stderr_log
         self._render_jit = {}
+        self._warned = set()
 
     def _get_render(self, h: int, w: int):
         key = (h, w)
@@ -67,15 +91,59 @@ class OfflineRenderer:
                     p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
                     p["sh"], alive, viewmat, intr, cfg, self.sh_degree, bg,
                 )
-                return out.color, out.final_T, out.n_contrib
+                return (out.color, out.final_T, out.n_contrib, out.num_pairs,
+                        out.pair_overflow, out.max_tile_hits, out.hit_overflow)
 
             self._render_jit[key] = fn
         return self._render_jit[key]
 
+    def _handle_overflow(self, h, w, num_pairs, pair_of, tile_hits, hit_of):
+        """Returns True if capacities grew (caller should re-render)."""
+        msg = (
+            f"render {w}x{h} OVERFLOW: pairs {num_pairs}/{self.pair_capacity}"
+            f", busiest tile {tile_hits}/{self.max_hits} "
+            f"(back-most pairs dropped — image truncated)"
+        )
+        if self.on_overflow == "error":
+            raise RuntimeError(msg)
+        new_pairs, new_hits = self.pair_capacity, self.max_hits
+        if self.on_overflow == "grow":
+            if pair_of:
+                new_pairs = max(new_pairs, -(-int(1.3 * num_pairs) // 512) * 512)
+            if hit_of:
+                new_hits = max(new_hits, -(-int(1.2 * tile_hits) // 128) * 128)
+        if (new_pairs, new_hits) == (self.pair_capacity, self.max_hits):
+            if (h, w) not in self._warned:
+                self._warned.add((h, w))
+                self.log(msg)
+            return False
+        self.log(
+            msg + f" -> growing pair_capacity {self.pair_capacity}->"
+            f"{new_pairs}, max_hits {self.max_hits}->{new_hits} (re-jit)"
+        )
+        self.pair_capacity, self.max_hits = new_pairs, new_hits
+        self._render_jit.clear()  # capacities are shared across resolutions
+        return True
+
+    def render_arrays(self, h: int, w: int, viewmat, intr, background):
+        """Overflow-checked render -> (color, final_T, n_contrib) jnp arrays."""
+        for _ in range(8):  # growth converges: capacities only increase
+            fn = self._get_render(h, w)
+            color, final_t, n_contrib, num_pairs, pair_of, tile_hits, hit_of \
+                = fn(viewmat, intr, background)
+            if not (bool(pair_of) or bool(hit_of)):
+                break
+            if not self._handle_overflow(
+                h, w, int(num_pairs), bool(pair_of), int(tile_hits),
+                bool(hit_of),
+            ):
+                break
+        return color, final_t, n_contrib
+
     def render_camera(self, cam: CameraInfo, mode: str = "rgb",
                       background=(0.0, 0.0, 0.0)) -> np.ndarray:
-        fn = self._get_render(cam.height, cam.width)
-        color, final_t, n_contrib = fn(
+        color, final_t, n_contrib = self.render_arrays(
+            cam.height, cam.width,
             jnp.asarray(cam.world_to_camera(), jnp.float32),
             jnp.asarray(cam.intrinsics_array()),
             jnp.asarray(background, jnp.float32),

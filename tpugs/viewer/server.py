@@ -68,8 +68,14 @@ fetch("/info").then(r=>r.json()).then(j=>{ radius=j.radius; refresh(false); });
 
 class ViewerServer:
     def __init__(self, params: dict, width: int = 1280, height: int = 720,
-                 background=(0.0, 0.0, 0.0), sh_degree: int = -1):
-        self.renderer = OfflineRenderer(params, sh_degree=sh_degree)
+                 background=(0.0, 0.0, 0.0), sh_degree: int = -1,
+                 tile: int = 32, pair_capacity: int = 1 << 21,
+                 max_hits: int = 2048, on_overflow: str = "grow"):
+        self.renderer = OfflineRenderer(
+            params, sh_degree=sh_degree, tile=tile,
+            pair_capacity=pair_capacity, max_hits=max_hits,
+            on_overflow=on_overflow,
+        )
         self.width = width
         self.height = height
         self.background = background
@@ -92,9 +98,10 @@ class ViewerServer:
         scale = int(req.get("scale", 1))  # 2 = half-res while dragging
         w, h = self.width // scale, self.height // scale
         # Snap to the renderer's tile grid.
-        w -= w % 16 or 0
-        h -= h % 16 or 0
-        info = cam.build_camera(max(w, 16), max(h, 16))
+        t = self.renderer.tile
+        w -= w % t or 0
+        h -= h % t or 0
+        info = cam.build_camera(max(w, t), max(h, t))
         with self._render_lock:
             img = self.renderer.render_camera(info, req.get("mode", "rgb"),
                                               self.background)
