@@ -90,6 +90,24 @@ class TestDistTrainer:
         )
         np.testing.assert_array_equal(bank, direct.astype(np.float32))
 
+    def test_eval_and_checkpoint_under_mesh(self, scene_dir, tmp_path):
+        """VERDICT r2 item 4: evaluate() and save_checkpoint() must work on
+        sharded state mid-train (eval_every/save_every > 0 under a mesh)."""
+        out = str(tmp_path / "evalmesh")
+        cfg = _cfg(
+            out, iterations=40, eval_every=20, save_every=20,
+            mesh="data=2,gauss=4",
+        )
+        logs = []
+        t = Trainer(scene_dir, cfg, log_fn=logs.append)
+        t.train()
+        eval_lines = [l for l in logs if isinstance(l, str) and "eval: PSNR" in l]
+        assert eval_lines, "no eval event fired under the mesh"
+        assert os.path.exists(os.path.join(out, "ckpt_0000020.npz"))
+        assert os.path.exists(os.path.join(out, "history.jsonl"))
+        res = t.evaluate()
+        assert np.isfinite(res.mean_psnr) and res.mean_psnr > 5.0
+
     def test_resume_roundtrip_under_mesh(self, scene_dir, tmp_path):
         out = str(tmp_path / "resume")
         cfg = _cfg(out, iterations=40, save_every=20, mesh="data=2,gauss=4")

@@ -638,6 +638,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Kernel geometry selector. "transposed" (default, composite_t.py): pixels on
+# lanes, entries on sublane waves — no Mosaic 128x lane-padding on per-pixel
+# state, so any tile size compiles. "lane": the round-1/2 geometry above
+# (pixels on sublanes, 128-entry lane waves), kept for A/B measurement.
+import os as _os
+
+KERNEL_GEOMETRY = _os.environ.get("TPUGS_KERNEL_GEOMETRY", "transposed")
+
+
+def _kernel_impls():
+    if KERNEL_GEOMETRY == "transposed":
+        from tpugs.ops.pallas import composite_t
+
+        return (composite_t.composite_forward_pallas,
+                composite_t.composite_backward_pallas)
+    return composite_forward_pallas, composite_backward_pallas
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def composite_tiles_pallas(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
                            means2d, conic, rgb, opac, background, row_offset=0):
@@ -657,7 +675,8 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
         tile_start, tile_stop, pair_gauss, p_aligned
     )
     attr = pack_sorted_attrs(aligned_gauss, means2d, conic, rgb, opac, p_aligned)
-    color, t, nc, kl = composite_forward_pallas(
+    fwd_impl, _ = _kernel_impls()
+    color, t, nc, kl = fwd_impl(
         cfg, astart, astop, attr, row_offset, interpret=_interpret()
     )
     color = color + t[..., None] * background[None, None, :]
@@ -674,7 +693,8 @@ def _pallas_bwd(cfg, res, cot):
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
-    d_attr = composite_backward_pallas(
+    _, bwd_impl = _kernel_impls()
+    d_attr = bwd_impl(
         cfg, astart, astop, attr, d_color, r0, final_t, kl, row_offset,
         interpret=_interpret(),
     )[:NUM_ATTR, :].T  # [P_aligned, 9]
@@ -735,7 +755,8 @@ def _pallas_pre_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_valid,
     # Gap slots hold gaussian 0's attrs (harmless: kernels never read outside
     # [start, stop) and backward masks on pair_valid).
     attr = pack_sorted_attrs(pair_gauss, means2d, conic, rgb, opac, p_al)
-    color, t, nc, kl = composite_forward_pallas(
+    fwd_impl, _ = _kernel_impls()
+    color, t, nc, kl = fwd_impl(
         cfg, tile_start, tile_stop, attr, row_offset, interpret=_interpret()
     )
     color = color + t[..., None] * background[None, None, :]
@@ -752,7 +773,8 @@ def _pallas_pre_bwd(cfg, res, cot):
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
-    d_attr = composite_backward_pallas(
+    _, bwd_impl = _kernel_impls()
+    d_attr = bwd_impl(
         cfg, tile_start, tile_stop, attr, d_color, r0, final_t, kl,
         row_offset, interpret=_interpret(),
     )[:NUM_ATTR, :].T  # [P_al, 9]

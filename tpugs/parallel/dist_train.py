@@ -18,12 +18,14 @@ axis). Layout:
     axis index so it is identical across data rows (params are replicated
     over "data" and must stay bitwise in sync).
 
-Densification under sharding runs with SHARD-LOCAL semantics: each shard
-clones/splits/prunes (ADC) or relocates/grows (MCMC) within its own slot
-range and free list, and MCMC relocation samples sources from the local
-shard. This diverges from single-device slot allocation order (not from the
-math: thresholds and corrections are per-gaussian) and keeps every event
-collective-free. Event statistics are psum'd over "gauss" for logging.
+ADC densification under sharding runs with SHARD-LOCAL free lists: each
+shard clones/splits/prunes within its own slot range. This diverges from
+single-device slot allocation order only (not from the math: thresholds are
+per-gaussian) and keeps the event collective-free; a shard can be
+clone-starved while another has free slots (quantified acceptable on the
+mesh-mode quality row, docs/PERF_NOTES.md). MCMC relocation/growth uses
+GLOBALLY-faithful sampling and granting (parallel/dist_mcmc.py). Event
+statistics are psum'd over "gauss" for logging.
 
 Gradient normalization: the raw shard_map gradient is d(sum of ALL device
 losses)/d(local shard). The render loss is replicated within each gauss group
@@ -47,7 +49,7 @@ from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig
 from tpugs.optim.adam import AdamState, adam_step, zero_slots
 from tpugs.optim.densify_adc import ADCState, adc_densify
-from tpugs.optim.densify_mcmc import inject_noise, regularization, relocate
+from tpugs.optim.densify_mcmc import inject_noise
 from tpugs.parallel.tile_shard import (
     assemble_image,
     exchange_and_render_local,
@@ -92,6 +94,45 @@ def parse_mesh_spec(spec: str, n_devices: Optional[int] = None) -> Mesh:
             f"{sizes['data']}*{sizes['gauss']} != {n} devices"
         )
     return make_mesh(axis_sizes=(sizes["data"], sizes["gauss"]))
+
+
+def measure_max_send_count(mesh: Mesh, raster: RasterConfig, params: dict,
+                           alive, viewmats, intrinsics) -> int:
+    """Measure the worst per-destination exchange send count over sample
+    views (host-side, at Trainer init): the auto-tune source for
+    TrainConfig.dist_send_capacity. Counts only — no exchange, no binning;
+    cost is one projection per sample view."""
+    from tpugs.parallel.tile_shard import destination_range
+
+    g = mesh.shape["gauss"]
+
+    def one(means, quats, log_scales, opac, sh, alive_l, viewmat, intr):
+        proj = project_gaussians(
+            means, quats, log_scales, opac, sh, alive_l,
+            viewmat, intr, raster.img_w, raster.img_h, 0,
+        )
+        d0, d1 = destination_range(proj, raster, g)
+        dst = jnp.arange(g, dtype=jnp.int32)[:, None]
+        counts = jnp.sum(
+            (d0[None, :] <= dst) & (dst <= d1[None, :]), axis=1
+        )
+        return jax.lax.pmax(jnp.max(counts), ("data", "gauss"))
+
+    gs = P("gauss")
+    mapped = jax.jit(jax.shard_map(
+        one, mesh=mesh,
+        in_specs=(gs, gs, gs, gs, gs, gs, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    ))
+    worst = 0
+    for vm, intr in zip(viewmats, intrinsics):
+        worst = max(worst, int(mapped(
+            params["means"], params["quats"], params["log_scales"],
+            params["opacity_logits"], params["sh"], alive,
+            jnp.asarray(vm, jnp.float32), jnp.asarray(intr, jnp.float32),
+        )))
+    return worst
 
 
 def _state_specs(state_cls):
@@ -344,24 +385,24 @@ def make_dist_densify_step(cfg, mesh: Mesh, scene_extent: float):
 
 
 def make_dist_relocate_step(cfg, mesh: Mesh, scene_extent: float):
-    """MCMC relocate/grow event under sharding: shard-local source sampling
-    and placement."""
+    """MCMC relocate/grow event under sharding, with GLOBALLY-faithful
+    source sampling (parallel/dist_mcmc.py: shard choice ~ psum'd opacity
+    masses, then within-shard categorical — exactly the opacity-weighted
+    global multinomial the single-device path samples)."""
+    from tpugs.parallel.dist_mcmc import dist_grow, dist_relocate
     from tpugs.train.trainer import TrainState
 
+    g = mesh.shape["gauss"]
+
     def reloc(state: TrainState):
-        gauss_idx = jax.lax.axis_index("gauss")
         key, rkey, gkey = jax.random.split(state.key, 3)
-        rkey = jax.random.fold_in(rkey, gauss_idx)
-        gkey = jax.random.fold_in(gkey, gauss_idx)
-        params, changed, stats = relocate(
-            cfg.mcmc, state.params, state.alive, rkey, scene_extent
+        params, changed, stats = dist_relocate(
+            cfg.mcmc, state.params, state.alive, rkey, scene_extent, g
         )
         alive = state.alive
         if cfg.mcmc.grow_factor > 0:
-            from tpugs.optim.densify_mcmc import grow
-
-            params, alive, grown, n_new = grow(
-                cfg.mcmc, params, alive, gkey, scene_extent
+            params, alive, grown, n_new = dist_grow(
+                cfg.mcmc, params, alive, gkey, scene_extent, g
             )
             changed = changed | grown
             stats = dict(stats, num_added=n_new)

@@ -75,11 +75,13 @@ class TrainConfig:
     # (parallel/dist_train.py): Gaussian state + tile grid sharded over
     # "gauss", view bank over "data". Empty = single device.
     mesh: str = ""
-    # Tile-shard exchange slots per (src, dst) device pair. 0 = the safe
-    # N/gauss default (never overflows, ~57% padding on the bench scene);
-    # tune down from the comm report's measured max_send_count x ~1.3 to cut
-    # all_to_all volume ~2x (scripts/comm_report.py).
-    dist_send_capacity: int = 0
+    # Tile-shard exchange slots per (src, dst) device pair. -1 (default) =
+    # auto-tune at init: measure the worst per-destination send count over
+    # sample views and size 1.3x that (~2x less all_to_all volume than the
+    # safe bound on the bench scene; send_overflow auto-grows it if
+    # densification later exceeds the measurement). 0 = the safe N/gauss
+    # bound (never overflows, ~57% padding measured); >0 = explicit.
+    dist_send_capacity: int = -1
     # Runtime HBM watchdog (utils.memory.MemoryWatchdog): checked on the
     # logging cadence; sustained over-limit readings checkpoint + abort
     # gracefully (reference: trainer.cpp:343-373). 0 = auto limit from the
@@ -369,7 +371,11 @@ class Trainer:
                 ),
             )
         self.cfg = config
-        self.log = log_fn
+        # Multi-host discipline: exactly one process (0) writes artifacts and
+        # logs; the others run the same device program silently. Single
+        # process => primary, so tests and local runs are unchanged.
+        self._primary = jax.process_index() == 0
+        self.log = log_fn if self._primary else (lambda *a, **k: None)
         self.start_step = 0
         self.dataset = Dataset(data_dir, config.resolution_scale)
         if self.dataset.num_train() == 0:
@@ -464,6 +470,8 @@ class Trainer:
             )
             self._reset_opacity = make_dist_reset_opacity_step(self.mesh)
             self.state = shard_train_state(self.mesh, self.state)
+            if self.cfg.dist_send_capacity < 0:
+                self._auto_send_capacity()
         self._build_render_steps()
 
         # Device-resident image bank: [V, H, W, 3]. Uniform camera resolution
@@ -595,6 +603,30 @@ class Trainer:
             self.cfg = dataclasses.replace(cfg, dist_send_capacity=new_send)
         self._build_render_steps()
 
+    def _auto_send_capacity(self):
+        """Measure the exchange's worst per-destination send count over
+        sample views and set dist_send_capacity to 1.3x that (VERDICT r2
+        item 5: the safe N/g bound wastes ~57% of the all_to_all as padding).
+        Under-measurement is recoverable: send_overflow feeds the 'grow'
+        policy (_handle_overflow)."""
+        from tpugs.parallel.dist_train import measure_max_send_count
+
+        cams = self.dataset.train_cameras
+        sample = cams[:: max(1, len(cams) // 4)][:4]
+        worst = measure_max_send_count(
+            self.mesh, self.raster, self.state.params, self.state.alive,
+            [np.asarray(c.world_to_camera(), np.float32) for c in sample],
+            [np.asarray(c.intrinsics_array()) for c in sample],
+        )
+        n_loc = self.state.alive.shape[0] // self.mesh.shape["gauss"]
+        cap = min(-(-int(worst * 1.3) // 128) * 128, n_loc)
+        cap = max(cap, 128)
+        self.cfg = dataclasses.replace(self.cfg, dist_send_capacity=cap)
+        self.log(
+            f"auto exchange capacity: max initial send count {worst} -> "
+            f"{cap} slots/(src,dst) (x1.3 headroom; safe bound {n_loc})"
+        )
+
     def _effective_send_capacity(self) -> int:
         """The exchange slot count make_dist_multi_step will actually use."""
         if self.mesh is None:
@@ -651,7 +683,11 @@ class Trainer:
         import json
 
         hist_path = os.path.join(cfg.output_dir, "history.jsonl")
-        hist_f = open(hist_path, "a" if self.start_step > 0 else "w")
+        # Multi-host: only the primary process writes the metrics artifact.
+        hist_f = (
+            open(hist_path, "a" if self.start_step > 0 else "w")
+            if self._primary else open(os.devnull, "w")
+        )
         k_max = self._effective_steps_per_call()
 
         step = self.start_step
@@ -867,21 +903,49 @@ class Trainer:
             opacity_logits=p["opacity_logits"], sh=p["sh"], alive=self.state.alive,
         )
 
+    def _host_state(self):
+        """Fetch the full TrainState to host memory, multi-host safe.
+
+        In a multi-process run the mesh-sharded arrays are not fully
+        addressable, so `np.asarray` on them would fail — gather across
+        processes first (every host receives the full array; only the
+        primary then writes). Single-process (incl. single-process mesh
+        mode) skips the collective."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True)
+                ),
+                self.state,
+            )
+        return jax.tree.map(np.asarray, self.state)
+
     def save_checkpoint(self, step: int, full: bool = True):
         """PLY export (interop, reference: trainer.cpp:318-328) + full resume
-        checkpoint (params + optimizer + accumulators + RNG + step)."""
+        checkpoint (params + optimizer + accumulators + RNG + step).
+
+        Multi-host: state is gathered on every process (collective — all
+        processes must call this together), files are written by process 0
+        only."""
         path = os.path.join(self.cfg.output_dir, f"model_{step:07d}.ply")
-        arrs = self.gaussian_state().compact_arrays()
+        host = self._host_state()
+        if not self._primary:
+            return path
+        p = host.params
+        alive = np.asarray(host.alive).astype(bool)
+        idx = np.nonzero(alive)[0]
         write_gaussian_ply(
-            path, arrs["means"], arrs["sh"], arrs["opacity_logits"],
-            arrs["log_scales"], arrs["quats"],
+            path, p["means"][idx], p["sh"][idx], p["opacity_logits"][idx],
+            p["log_scales"][idx], p["quats"][idx],
         )
         if full:
             from tpugs.io.checkpoint import save_train_checkpoint
 
             save_train_checkpoint(
                 os.path.join(self.cfg.output_dir, f"ckpt_{step:07d}.npz"),
-                self.state, step,
+                host, step,
             )
         self.log(f"[{step}] checkpoint -> {path}")
         return path
