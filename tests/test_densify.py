@@ -58,6 +58,20 @@ class TestSchedule:
         assert not cfg.should_reset_opacity(3001)
         assert not cfg.should_reset_opacity(15001 + 2999)  # past densify_until
 
+    def test_final_reset_skipped_by_default(self):
+        """A reset landing at densify_until leaves no densify events to
+        recover the near-transparent model (measured 13 dB crater,
+        docs/PERF_NOTES.md) — skipped unless skip_final_reset=False."""
+        cfg = ADCConfig()
+        assert cfg.should_reset_opacity(12000)
+        assert not cfg.should_reset_opacity(15000)  # == densify_until
+        ref = ADCConfig(skip_final_reset=False)
+        assert ref.should_reset_opacity(15000)  # reference schedule
+        # A non-multiple densify_until keeps every full-period reset.
+        cfg2 = ADCConfig(densify_until=16000)
+        assert cfg2.should_reset_opacity(12000)
+        assert not cfg2.should_reset_opacity(15000)  # only 1000 steps left
+
 
 class TestADC:
     def _adc_with_grads(self, nc, grads, counts=None, radii=None):

@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--densify-until", type=int, default=15000)
     p.add_argument("--densify-every", type=int, default=100)
     p.add_argument("--grad-threshold", type=float, default=2e-4)
+    p.add_argument("--final-opacity-reset", action="store_true",
+                   help="keep the reference schedule's opacity reset at "
+                        "densify_until (default skips resets that leave no "
+                        "densify window to recover; ADCConfig.skip_final_reset)")
     p.add_argument("--resume", default=None, help="resume from a ckpt_*.npz")
     p.add_argument("--mesh", default="",
                    help="device mesh spec for distributed training, e.g. "
@@ -82,6 +86,8 @@ def config_from_args(args, given):
                "densify_every": "densify_every",
                "grad_threshold": "grad_threshold"}
     adc_over = {f: getattr(args, a) for a, f in adc_map.items() if a in given}
+    if "final_opacity_reset" in given:
+        adc_over["skip_final_reset"] = not args.final_opacity_reset
     if adc_over:
         over["adc"] = dc.replace(cfg.adc, **adc_over)
     return dc.replace(cfg, **over)

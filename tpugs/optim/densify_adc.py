@@ -50,6 +50,17 @@ class ADCConfig:
     percent_dense: float = 0.01
     max_screen_size: int = 20
     max_gaussians: int = 0  # 0 = capacity-limited only
+    # Skip any opacity reset that does not leave a full reset period of
+    # densify events before densify_until. The reference fires resets at
+    # every multiple of opacity_reset_every up to AND INCLUDING densify_until
+    # (densification.hpp:25-28) — with the default schedule (3000/15000) the
+    # last reset lands exactly at the last densify step, so nothing can
+    # clone/split the near-transparent model back and PSNR craters ~13 dB
+    # for thousands of steps (measured: 25.41 dB @10k -> 12.34 @15k on the
+    # 30k row, docs/PERF_NOTES.md). True (default) = last reset at 12000,
+    # leaving 3000 densify-active steps to recover; False = reference
+    # schedule, kept for ablation.
+    skip_final_reset: bool = True
 
     def should_densify(self, step: int) -> bool:
         return (
@@ -58,11 +69,15 @@ class ADCConfig:
         )
 
     def should_reset_opacity(self, step: int) -> bool:
+        if self.skip_final_reset:
+            last_ok = self.densify_until - self.opacity_reset_every
+        else:
+            last_ok = self.densify_until
         return (
             self.opacity_reset_every > 0
             and step > 0
             and step % self.opacity_reset_every == 0
-            and step <= self.densify_until
+            and step <= last_ok
         )
 
 
