@@ -116,6 +116,60 @@ def cull_radius_sq(proj: ProjectionOutput) -> jnp.ndarray:
     return jnp.where(proj.visible, r2, 0.0)
 
 
+def presort_by_depth(proj: ProjectionOutput):
+    """Sort the per-Gaussian projection outputs front-to-back ONCE per frame
+    ([N]-sized ops) so pair binning can sort by (tile, INDEX) instead of
+    (tile, depth): after the presort the gaussian index IS the depth rank.
+    That turns the [P]-sized 2-key 3-array sort — the largest single binning
+    cost (docs/PERF_NOTES.md e2e profile) — into a single-array sort of one
+    packed u32 key per pair (bin_gaussians(presorted=True)), and drops the
+    depth column from the [P, 8] row table.
+
+    Exactness: stable argsort keeps equal-depth gaussians in original-index
+    order — the same tie-break the (tile, depth, g) 2-key stable sort
+    applies — so the composited image is bit-identical (pinned by
+    tests/test_binning.py).
+
+    Returns (perm [N] int32, permuted ProjectionOutput). Consumers must index
+    the SAME permuted arrays with the resulting pair_gauss ids; gradients
+    flow back to original order through the gather's VJP.
+    """
+    n = proj.depths.shape[0]
+    sort_key = jnp.where(proj.visible, proj.depths, jnp.inf)
+    _, perm = jax.lax.sort(
+        (sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    # One packed [N, 12] row gather instead of seven column gathers. radii
+    # (< 2^24) and visible (0/1) are exact in f32.
+    f32 = jnp.float32
+    table = jnp.concatenate(
+        [proj.means2d, proj.conic, proj.rgb, proj.opac[:, None],
+         proj.depths[:, None], proj.radii.astype(f32)[:, None],
+         proj.visible.astype(f32)[:, None]],
+        axis=1,
+    )
+    rows = table[perm]
+    return perm, ProjectionOutput(
+        means2d=rows[:, 0:2],
+        depths=rows[:, 9],
+        conic=rows[:, 2:5],
+        radii=rows[:, 10].astype(jnp.int32),
+        rgb=rows[:, 5:8],
+        opac=rows[:, 8],
+        visible=rows[:, 11] > 0.5,
+    )
+
+
+def _packed_key_shift(n: int, num_tiles: int):
+    """Bit budget for the single-u32 pair sort key (tile_id << shift | g):
+    returns the shift, or None when tile ids + gaussian ids don't fit —
+    sentinel num_tiles << shift must stay <= 2^32 - 1."""
+    shift = max(1, (n - 1).bit_length())
+    if num_tiles << shift <= 0xFFFFFFFF:
+        return shift
+    return None
+
+
 def bin_gaussians(
     proj: ProjectionOutput,
     img_w: int,
@@ -125,6 +179,7 @@ def bin_gaussians(
     pair_capacity: int,
     tile_row_lo=0,
     num_tile_rows: int = 0,
+    presorted: bool = False,
 ) -> BinningResult:
     """Expand Gaussians into a depth-sorted, tile-grouped pair list.
 
@@ -135,6 +190,12 @@ def bin_gaussians(
     (parallel/tile_shard.py): each device bins only its slice of the grid, so
     every [P]-sized op shrinks by the device count. Pixel-exact: a pair lands
     in exactly one device's slice.
+
+    With presorted=True, `proj` must be the output of presort_by_depth: the
+    gaussian index is the depth rank, so the [P] sort runs on ONE packed
+    u32 key (or a 2-array int sort when ids don't fit 32 bits) and the depth
+    column drops out of the pair row table. pair_gauss ids index the
+    PERMUTED arrays.
     """
     ntx = -(-img_w // tile_w)
     nty = -(-img_h // tile_h)
@@ -170,14 +231,15 @@ def bin_gaussians(
 
     # One packed row-gather instead of five column gathers (row gathers cost
     # barely more than one column on TPU). Integer fields are exact in f32
-    # (all < 2^24).
+    # (all < 2^24). presorted drops the depth column: the index g IS the
+    # depth rank.
     f32 = jnp.float32
-    table = jnp.stack(
-        [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
-         w_tiles.astype(f32), proj.depths,
-         proj.means2d[:, 0], proj.means2d[:, 1], r2_cull],
-        axis=1,
-    )  # [N, 8]
+    cols = [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
+            w_tiles.astype(f32),
+            proj.means2d[:, 0], proj.means2d[:, 1], r2_cull]
+    if not presorted:
+        cols.insert(4, proj.depths)
+    table = jnp.stack(cols, axis=1)  # [N, 7 or 8]
     rows = table[g]
     off_g = rows[:, 0].astype(jnp.int32)
     tx0_g = rows[:, 1].astype(jnp.int32)
@@ -194,24 +256,65 @@ def bin_gaussians(
     # pairs become sentinel entries that sort to the back — per-tile segments
     # shrink, so the compositor kernels do ~15-50% fewer waves at identical
     # output.
-    gx, gy, r2_g = rows[:, 5], rows[:, 6], rows[:, 7]
+    gx, gy, r2_g = rows[:, -3], rows[:, -2], rows[:, -1]
     px0 = (tx * tile_w).astype(f32)
     py0 = (ty * tile_h).astype(f32)
     dx = jnp.clip(gx, px0, px0 + (tile_w - 1)) - gx
     dy = jnp.clip(gy, py0, py0 + (tile_h - 1)) - gy
     hit = dx * dx + dy * dy <= r2_g
+    valid = in_range & hit
 
-    # Invalid slots: sentinel tile sorts to the back.
-    tile_id = jnp.where(in_range & hit, tile_id, num_tiles)
-    depth = jnp.where(in_range & hit, rows[:, 4], jnp.inf)
+    shift = _packed_key_shift(counts.shape[0], num_tiles) if presorted else None
+    if shift is not None:
+        # Single-array u32 sort: key = tile_id << shift | g; the low bits are
+        # the depth rank, so (tile, key) order == (tile, depth) order with
+        # the same original-index tie-break as the 2-key path.
+        key = (tile_id.astype(jnp.uint32) << shift) | g.astype(jnp.uint32)
+        sentinel = jnp.uint32(num_tiles << shift)
+        key = jnp.where(valid, key, sentinel)
+        (sorted_key,) = jax.lax.sort((key,), num_keys=1)
+        sorted_g = (sorted_key & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
+        tids = jnp.arange(num_tiles, dtype=jnp.uint32)
+        bounds = tids << shift
+        tile_start = jnp.searchsorted(sorted_key, bounds, side="left").astype(
+            jnp.int32
+        )
+        tile_stop = jnp.searchsorted(
+            sorted_key, bounds + jnp.uint32(1 << shift), side="left"
+        ).astype(jnp.int32)
+        sorted_tile = jnp.minimum(sorted_key >> shift, num_tiles).astype(
+            jnp.int32
+        )
+    elif presorted:
+        # Ids don't fit one u32: 2-array int sort (still no depth array).
+        tile_id = jnp.where(valid, tile_id, num_tiles)
+        g_key = jnp.where(valid, g, counts.shape[0])
+        sorted_tile, sorted_g = jax.lax.sort(
+            (tile_id, g_key), num_keys=2, is_stable=False
+        )
+        sorted_g = jnp.minimum(sorted_g, counts.shape[0] - 1)
+        tids = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(
+            jnp.int32
+        )
+        tile_stop = jnp.searchsorted(sorted_tile, tids, side="right").astype(
+            jnp.int32
+        )
+    else:
+        # Invalid slots: sentinel tile sorts to the back.
+        tile_id = jnp.where(valid, tile_id, num_tiles)
+        depth = jnp.where(valid, rows[:, 4], jnp.inf)
 
-    sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
-        (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
-    )
-
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    tile_stop = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+        sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
+            (tile_id, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
+        )
+        tids = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(
+            jnp.int32
+        )
+        tile_stop = jnp.searchsorted(sorted_tile, tids, side="right").astype(
+            jnp.int32
+        )
 
     return BinningResult(
         pair_gauss=sorted_g,

@@ -56,26 +56,39 @@ def render(
     scale_modifier: float = 1.0,
     means2d_probe: Optional[jnp.ndarray] = None,
     compositor: str = "auto",
+    presort: bool = True,
 ) -> RenderOutput:
     """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
     compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
-    TPU and the lax.scan reference path elsewhere."""
+    TPU and the lax.scan reference path elsewhere. presort: depth-presort the
+    gaussians once per frame so the [P]-sized pair sort runs on a single
+    packed u32 key (binning.presort_by_depth — bit-identical output, pinned
+    by tests; False = the direct (tile, depth) 2-key sort, kept for A/B)."""
     proj = project_gaussians(
         means, quats, log_scales, opacity_logits, sh, alive,
         viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree, scale_modifier,
     )
-    means2d = proj.means2d
-    if means2d_probe is not None:
-        means2d = means2d + means2d_probe
-
     # One truncation semantics for both compositor backends: segments clamped
     # to the front-most K entries, pre-clamp max reported (see
     # binning.clamp_tile_segments).
-    from tpugs.ops.binning import clamp_tile_segments
+    from tpugs.ops.binning import clamp_tile_segments, presort_by_depth
 
     if compositor == "auto":
         compositor = "pallas" if jax.default_backend() == "tpu" else "scan"
     bg = jnp.asarray(background, jnp.float32)
+    if presort:
+        # The probe rides inside the permuted table so its gradient flows
+        # back to original order through the gather's VJP.
+        proj_b = proj
+        if means2d_probe is not None:
+            proj_b = proj_b.replace(means2d=proj.means2d + means2d_probe)
+        _, proj_b = presort_by_depth(proj_b)
+        means2d = proj_b.means2d
+    else:
+        proj_b = proj
+        means2d = proj.means2d
+        if means2d_probe is not None:
+            means2d = means2d + means2d_probe
     # NOTE on binning layout: bin_gaussians_aligned can emit the kernels'
     # aligned layout directly (skipping align_segments), but its [P]->[P_al]
     # scatter measured SLOWER end-to-end than the align pass's gather
@@ -83,7 +96,8 @@ def render(
     # primitive on TPU, docs/PERF_NOTES.md round-2 negative results), so the
     # compact path stays.
     binning = bin_gaussians(
-        proj, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h, cfg.pair_capacity
+        proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
+        cfg.pair_capacity, presorted=presort,
     )
     binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
     if compositor == "pallas":
@@ -94,7 +108,7 @@ def render(
         composite_fn = composite_tiles
     color_t, t_t, nc_t = composite_fn(
         cfg, binning.tile_start, binning.tile_stop, binning.pair_gauss,
-        means2d, proj.conic, proj.rgb, proj.opac, bg,
+        means2d, proj_b.conic, proj_b.rgb, proj_b.opac, bg,
     )
     color = tiles_to_image(cfg, color_t)[: cfg.img_h, : cfg.img_w]
     final_t = tiles_to_image(cfg, t_t)[: cfg.img_h, : cfg.img_w]

@@ -63,8 +63,11 @@ class OfflineRenderer:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         n = self.params["means"].shape[0]
         self.alive = jnp.ones((n,), bool)
-        max_deg = int(round(self.params["sh"].shape[-1] ** 0.5)) - 1
-        self.sh_degree = max_deg if sh_degree < 0 else min(sh_degree, max_deg)
+        self.max_sh_degree = int(round(self.params["sh"].shape[-1] ** 0.5)) - 1
+        self.sh_degree = (
+            self.max_sh_degree if sh_degree < 0
+            else min(sh_degree, self.max_sh_degree)
+        )
         self.tile = tile
         self.pair_capacity = pair_capacity
         self.max_hits = max_hits
@@ -75,8 +78,8 @@ class OfflineRenderer:
         self._render_jit = {}
         self._warned = set()
 
-    def _get_render(self, h: int, w: int):
-        key = (h, w)
+    def _get_render(self, h: int, w: int, sh_degree: int):
+        key = (h, w, sh_degree)
         if key not in self._render_jit:
             cfg = RasterConfig(
                 img_h=h, img_w=w, tile_h=self.tile, tile_w=self.tile,
@@ -89,7 +92,7 @@ class OfflineRenderer:
             def fn(viewmat, intr, bg):
                 out = render(
                     p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
-                    p["sh"], alive, viewmat, intr, cfg, self.sh_degree, bg,
+                    p["sh"], alive, viewmat, intr, cfg, sh_degree, bg,
                 )
                 return (out.color, out.final_T, out.n_contrib, out.num_pairs,
                         out.pair_overflow, out.max_tile_hits, out.hit_overflow)
@@ -125,10 +128,18 @@ class OfflineRenderer:
         self._render_jit.clear()  # capacities are shared across resolutions
         return True
 
-    def render_arrays(self, h: int, w: int, viewmat, intr, background):
-        """Overflow-checked render -> (color, final_T, n_contrib) jnp arrays."""
+    def render_arrays(self, h: int, w: int, viewmat, intr, background,
+                      sh_degree: int = -1):
+        """Overflow-checked render -> (color, final_T, n_contrib) jnp arrays.
+
+        sh_degree >= 0 overrides the default evaluation degree for this frame
+        (the reference viewer's SH slider, viewer.cpp:751-764); capped at the
+        model's stored degree."""
+        deg = self.sh_degree if sh_degree < 0 else min(
+            sh_degree, self.max_sh_degree
+        )
         for _ in range(8):  # growth converges: capacities only increase
-            fn = self._get_render(h, w)
+            fn = self._get_render(h, w, deg)
             color, final_t, n_contrib, num_pairs, pair_of, tile_hits, hit_of \
                 = fn(viewmat, intr, background)
             if not (bool(pair_of) or bool(hit_of)):
@@ -141,12 +152,14 @@ class OfflineRenderer:
         return color, final_t, n_contrib
 
     def render_camera(self, cam: CameraInfo, mode: str = "rgb",
-                      background=(0.0, 0.0, 0.0)) -> np.ndarray:
+                      background=(0.0, 0.0, 0.0),
+                      sh_degree: int = -1) -> np.ndarray:
         color, final_t, n_contrib = self.render_arrays(
             cam.height, cam.width,
             jnp.asarray(cam.world_to_camera(), jnp.float32),
             jnp.asarray(cam.intrinsics_array()),
             jnp.asarray(background, jnp.float32),
+            sh_degree=sh_degree,
         )
         if mode == "rgb":
             return np.clip(np.asarray(color), 0.0, 1.0)

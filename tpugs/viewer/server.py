@@ -10,6 +10,7 @@ Feature parity with the reference viewer:
   (reference: viewer.cpp:630-638)
 - dirty-tracking via camera version (only re-render on change)
 - FPS / gaussian-count overlay
+- SH-degree slider + vertical-FOV slider (reference: viewer.cpp:751-820)
 """
 from __future__ import annotations
 
@@ -29,21 +30,32 @@ _PAGE = """<!DOCTYPE html>
 <html><head><title>tpugs viewer</title><style>
  body { margin:0; background:#111; color:#ddd; font-family:monospace; overflow:hidden }
  #hud { position:fixed; top:8px; left:8px; background:#0008; padding:6px 10px; border-radius:4px }
+ #panel { position:fixed; top:8px; right:8px; background:#0008; padding:6px 10px;
+          border-radius:4px; display:flex; flex-direction:column; gap:4px }
+ #panel label { display:flex; align-items:center; gap:6px; font-size:12px }
  img { display:block; width:100vw; height:100vh; object-fit:contain; cursor:grab }
 </style></head><body>
 <div id="hud">tpugs viewer — drag: orbit | shift-drag: pan | wheel: zoom | m: mode</div>
+<div id="panel">
+ <label>SH <input id="sh" type="range" min="0" max="3" step="1" value="3">
+   <span id="shv">3</span></label>
+ <label>FOV <input id="fov" type="range" min="20" max="120" step="1" value="60">
+   <span id="fovv">60°</span></label>
+</div>
 <img id="view" draggable="false">
 <script>
 let az=0, el=0.3, radius=null, tx=0, ty=0, tz=0, mode=0, seq=0, inflight=false, dragging=false;
+let shDeg=3, fovDeg=60;
 const modes=["rgb","depth","heatmap"];
 const img=document.getElementById("view"), hud=document.getElementById("hud");
+const shIn=document.getElementById("sh"), fovIn=document.getElementById("fov");
 let lastT=performance.now();
 async function refresh(low) {
   if (inflight) return; inflight = true;
   const mySeq = ++seq;
   const r = await fetch("/render", {method:"POST", body: JSON.stringify({
     azimuth:az, elevation:el, radius:radius, pan:[tx,ty,tz], mode:modes[mode],
-    scale: low?2:1})});
+    sh:shDeg, fov:fovDeg, scale: low?2:1})});
   const blob = await r.blob();
   if (mySeq === seq) img.src = URL.createObjectURL(blob);
   const now=performance.now();
@@ -62,7 +74,13 @@ window.onmousemove = e => {
 };
 window.onwheel = e => { radius = (radius||5) * (e.deltaY>0?1.1:0.9); refresh(true); };
 window.onkeydown = e => { if (e.key=="m") { mode=(mode+1)%3; refresh(false);} };
-fetch("/info").then(r=>r.json()).then(j=>{ radius=j.radius; refresh(false); });
+shIn.oninput = () => { shDeg=+shIn.value; document.getElementById("shv").textContent=shIn.value; refresh(false); };
+fovIn.oninput = () => { fovDeg=+fovIn.value; document.getElementById("fovv").textContent=fovIn.value+"°"; refresh(true); };
+fetch("/info").then(r=>r.json()).then(j=>{
+  radius=j.radius; shDeg=j.max_sh_degree; shIn.max=j.max_sh_degree;
+  shIn.value=shDeg; document.getElementById("shv").textContent=shDeg;
+  refresh(false);
+});
 </script></body></html>"""
 
 
@@ -93,7 +111,9 @@ class ViewerServer:
             radius=float(req.get("radius") or self.base_cam.radius),
             azimuth=float(req.get("azimuth", 0.0)),
             elevation=float(req.get("elevation", 0.3)),
-            fov_y_deg=self.base_cam.fov_y_deg,
+            fov_y_deg=float(
+                np.clip(req.get("fov") or self.base_cam.fov_y_deg, 5.0, 170.0)
+            ),
         )
         scale = int(req.get("scale", 1))  # 2 = half-res while dragging
         w, h = self.width // scale, self.height // scale
@@ -102,9 +122,11 @@ class ViewerServer:
         w -= w % t or 0
         h -= h % t or 0
         info = cam.build_camera(max(w, t), max(h, t))
+        sh_deg = int(req.get("sh", -1) if req.get("sh") is not None else -1)
         with self._render_lock:
             img = self.renderer.render_camera(info, req.get("mode", "rgb"),
-                                              self.background)
+                                              self.background,
+                                              sh_degree=sh_deg)
         buf = io.BytesIO()
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             buf, "JPEG", quality=90
@@ -132,6 +154,7 @@ class ViewerServer:
                     self._send(200, "application/json", json.dumps({
                         "radius": viewer.base_cam.radius,
                         "num_gaussians": viewer.num_gaussians,
+                        "max_sh_degree": viewer.renderer.max_sh_degree,
                     }).encode())
                 else:
                     self._send(404, "text/plain", b"not found")
