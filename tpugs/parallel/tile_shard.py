@@ -186,9 +186,17 @@ def exchange_and_render_local(
     )  # [g, C, 12]: recv[j] = what shard j sent to my tiles
     work = _unpack_attrs(recv.reshape(g * send_capacity, EXCHANGE_ATTRS))
 
+    # Depth-presort the received working set so the per-device [P_loc] pair
+    # sort runs on a single packed u32 key (binning.presort_by_depth — same
+    # exactness argument as the single-device path; equal-depth ties already
+    # broke by received-slot order here, which the stable presort preserves).
+    from tpugs.ops.binning import presort_by_depth
+
+    _, work = presort_by_depth(work)
     binning = bin_gaussians(
         work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
         local_cfg.pair_capacity, tile_row_lo=row_lo, num_tile_rows=rpd,
+        presorted=True,
     )
     from tpugs.ops.binning import clamp_tile_segments
 
@@ -308,6 +316,15 @@ def make_tile_sharded_train_step(
     )
 
     def step_fn(params, alive, adam_state, images, viewmats, intrinsics, step):
+        # One view per data row: step_impl renders images[0] of its local
+        # block, so extra rows would be SILENTLY ignored. The full-batch
+        # training loop is dist_train.make_dist_multi_step.
+        if images.shape[0] != d:
+            raise ValueError(
+                f"batch must be exactly one view per data row ({d}); got "
+                f"{images.shape[0]} — use dist_train.make_dist_multi_step "
+                f"for batched training"
+            )
         p, m, v, c, loss = mapped(
             params, alive, adam_state.m, adam_state.v, adam_state.count,
             images, viewmats, intrinsics, step,
