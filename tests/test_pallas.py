@@ -135,6 +135,37 @@ class TestPallasBackward:
             np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
 
 
+class TestLargeTiles:
+    """pix >= 2048 tiles — uncompilable in the lane-wave geometry (Mosaic
+    lane-pads (pix, 1) carries 128x past the VMEM limit; composite.py
+    _fwd_pix_limit) — must be exact in the transposed geometry, where
+    per-pixel state is (1, pix) rows. Each tile-size doubling halves the
+    pair count, the dominant viewer cost (docs/PERF_NOTES.md)."""
+
+    CFG64 = RasterConfig(img_h=128, img_w=128, tile_h=64, tile_w=64,
+                         pair_capacity=8192, max_hits_per_tile=512)
+
+    def test_tile64_forward_and_grads(self):
+        params = make_params(80, seed=9)
+        op = run(params, "pallas", cfg=self.CFG64)
+        os_ = run(params, "scan", cfg=self.CFG64)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+
+        def loss(p, comp):
+            out = run(p, comp, cfg=self.CFG64)
+            return jnp.mean(out.color ** 2)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(gp[k]), np.asarray(gs[k]),
+                rtol=1e-4, atol=1e-7, err_msg=k,
+            )
+
+
 class TestOddTileSizes:
     """Non-power-of-two tiles exercise the pixel sub-block divisor walk in
     BOTH kernels (tile 40 => pix 1600: fwd blocks of 800, bwd blocks of 100 —
