@@ -44,11 +44,14 @@ def bench(th, tw, cap):
           f"ovf {bool(out.pair_overflow)}", flush=True)
 
 
-# Measured 2026-08-17 (1080p/1M realistic footprints): 32x32 = 221-261 ms
-# best; 16x32 = 291 ms; pix>=2048 tiles fail scoped-VMEM compile regardless
-# of pixel sub-blocking — the (pix, 1) per-pixel carries/outputs are
-# lane-padded 128x by Mosaic (root cause; see composite._fwd_pix_limit and
-# docs/NEXT.md).
-bench(32, 32, 3_407_872)   # reference point
-bench(32, 64, 2_621_440)   # half the tile columns (fails: VMEM, see above)
-bench(64, 64, 2_097_152)   # (fails: VMEM)
+# Round-2 (lane-wave geometry): 32x32 = 221-261 ms best; 16x32 = 291 ms;
+# pix>=2048 tiles failed scoped-VMEM compile — the (pix, 1) per-pixel
+# carries/outputs are lane-padded 128x by Mosaic (composite._fwd_pix_limit).
+# Round-3 transposed geometry (pixels on lanes) lifts that: every tile-size
+# doubling halves the pair count, so sweep the whole ladder.
+bench(32, 32, 3_407_872)   # round-2 reference point
+bench(32, 64, 2_097_152)   # pix 2048 (uncompilable before round 3)
+bench(64, 32, 2_097_152)
+bench(64, 64, 1_048_576)   # pix 4096
+bench(64, 128, 786_432)    # pix 8192
+bench(128, 128, 524_288)   # pix 16384
