@@ -414,3 +414,49 @@ class TestNoiseWindow:
         p_out = inject_noise(cfg, params, alive, jnp.asarray(101.0),
                              jax.random.PRNGKey(3))
         assert np.abs(np.asarray(p_out["means"] - params["means"])).max() > 0
+
+
+class TestSampleSources:
+    """Inverse-CDF multinomial sampler (densify_mcmc.sample_sources) — the
+    O(Nc + k log Nc) replacement for the gumbel-max categorical (reference:
+    torch::multinomial with replacement, mcmc_densification.cpp:107-112)."""
+
+    def test_dead_never_selected(self):
+        from tpugs.optim.densify_mcmc import sample_sources
+        nc = 64
+        rng = np.random.default_rng(1)
+        opac = jnp.asarray(rng.uniform(0.1, 1.0, nc).astype(np.float32))
+        living = jnp.asarray(rng.uniform(size=nc) < 0.5)
+        idx = sample_sources(jax.random.PRNGKey(0), opac, living, (4096,))
+        picked = np.unique(np.asarray(idx))
+        assert np.asarray(living)[picked].all()
+
+    def test_frequencies_match_opacity(self):
+        from tpugs.optim.densify_mcmc import sample_sources
+        opac = jnp.asarray([0.1, 0.2, 0.0, 0.7], jnp.float32)
+        living = jnp.array([True, True, True, True])
+        n = 200_000
+        idx = np.asarray(sample_sources(jax.random.PRNGKey(7), opac, living, (n,)))
+        freq = np.bincount(idx, minlength=4) / n
+        np.testing.assert_allclose(freq, [0.1, 0.2, 0.0, 0.7], atol=0.01)
+
+    def test_large_n_uniformity(self):
+        # Two-level cumsum: at Nc >> block size, per-item interval widths must
+        # stay accurate (a flat f32 cumsum distorts them by the total-mass ULP).
+        from tpugs.optim.densify_mcmc import sample_sources
+        nc = 300_000
+        opac = jnp.full((nc,), 0.3, jnp.float32)
+        living = jnp.ones((nc,), bool)
+        idx = np.asarray(
+            sample_sources(jax.random.PRNGKey(3), opac, living, (100_000,)))
+        assert idx.min() >= 0 and idx.max() < nc
+        # Uniform weights => halves get ~equal mass.
+        lo = (idx < nc // 2).mean()
+        assert 0.48 < lo < 0.52
+
+    def test_multidim_shape(self):
+        from tpugs.optim.densify_mcmc import sample_sources
+        opac = jnp.asarray([0.5, 0.5], jnp.float32)
+        living = jnp.array([True, True])
+        idx = sample_sources(jax.random.PRNGKey(0), opac, living, (3, 5))
+        assert idx.shape == (3, 5)

@@ -255,6 +255,39 @@ def _place_copies(cfg: MCMCConfig, params: dict, opac, living, targets, grant,
     return out, changed
 
 
+def sample_sources(key, opac, living, shape):
+    """Opacity-weighted multinomial WITH replacement over living sources
+    (the jittable equivalent of torch::multinomial with replacement,
+    mcmc_densification.cpp:107-112), via inverse-CDF: one [Nc] cumsum +
+    |shape| binary-search queries = O(Nc + k log Nc).
+
+    Replaces gumbel-max `jax.random.categorical(logits, shape=(k,))`, whose
+    (k, Nc) gumbel matrix is O(k*Nc) compute — 10^12-scale at the 1M-gaussian
+    production capacity with k=Nc draws. (The searchsorted here is k queries
+    at event cadence — every relocate_every steps — not the per-frame
+    [P]-sized pattern docs/PERF_NOTES.md measured 35x slow.) Dead sources
+    have zero-width CDF intervals and are never selected.
+
+    The CDF is built hierarchically (1024-entry blocks, block-offset +
+    within-block cumsum): a flat f32 cumsum's rounding is one ULP of the
+    TOTAL mass per element — at Nc=1e6, opac~0.3 that is ~0.02 absolute,
+    badly distorting interval widths near the 0.005 dead threshold. The
+    two-level form keeps per-item width error at one ULP of a BLOCK's mass
+    (<=1024) ~ 6e-5."""
+    w = jnp.where(living, opac, 0.0).astype(jnp.float32)
+    nc = w.shape[0]
+    nb = min(1024, nc)
+    npad = -(-nc // nb) * nb
+    wpad = jnp.pad(w, (0, npad - nc)).reshape(npad // nb, nb)
+    within = jnp.cumsum(wpad, axis=1)
+    block_tot = within[:, -1]
+    offs = jnp.cumsum(block_tot) - block_tot
+    c = (within + offs[:, None]).reshape(-1)
+    u = jax.random.uniform(key, shape, dtype=jnp.float32) * c[-1]
+    idx = jnp.searchsorted(c, u, side="right")
+    return jnp.clip(idx, 0, nc - 1).astype(jnp.int32)
+
+
 def relocate(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key, scene_extent: float):
     """One relocation event; shape-stable. Returns (params, changed_mask, stats).
 
@@ -280,11 +313,9 @@ def relocate(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key, scene_exten
     grant = jnp.arange(nc) < n_relocate
     targets = jnp.where(grant, dead_order, nc)
 
-    # Opacity-weighted categorical sampling over living sources (Gumbel-max:
-    # the jittable equivalent of torch::multinomial with replacement).
+    # Opacity-weighted multinomial sampling over living sources.
     key_src, key_jit = jax.random.split(key)
-    logits = jnp.where(living, jnp.log(jnp.maximum(opac, 1e-12)), -jnp.inf)
-    src = jax.random.categorical(key_src, logits, shape=(nc,))  # [Nc] source ids
+    src = sample_sources(key_src, opac, living, (nc,))  # [Nc] source ids
 
     out, changed = _place_copies(
         cfg, params, opac, living, targets, grant, src, key_jit, scene_extent
@@ -322,8 +353,7 @@ def grow(cfg: MCMCConfig, params: dict, alive: jnp.ndarray, key,
     targets = jnp.where(grant, free_order, nc)
 
     key_src, key_jit = jax.random.split(key)
-    logits = jnp.where(living, jnp.log(jnp.maximum(opac, 1e-12)), -jnp.inf)
-    src = jax.random.categorical(key_src, logits, shape=(nc,))
+    src = sample_sources(key_src, opac, living, (nc,))
 
     out, changed = _place_copies(
         cfg, params, opac, living, targets, grant, src, key_jit, scene_extent

@@ -51,6 +51,7 @@ from tpugs.optim.densify_mcmc import (
     RELOCATE_OPACITY,
     RELOCATE_SCALE_SHRINK,
     relocation_correction,
+    sample_sources,
 )
 
 
@@ -86,17 +87,11 @@ def _global_place(cfg: MCMCConfig, params: dict, living, opac, slot_order,
     rank = jnp.take_along_axis(cum, s[:, None], axis=1)[:, 0] - 1  # [nc]
     cmat = jax.lax.all_gather(counts_my, axis)  # [g_dest, g_src]
 
-    # (2) source side: candidate pools + realized copy counts.
-    src_logits = jnp.where(
-        living, jnp.log(jnp.maximum(opac, 1e-12)), -1e30
-    )
+    # (2) source side: candidate pools + realized copy counts. One inverse-CDF
+    # multinomial draw for all g pools (densify_mcmc.sample_sources — the
+    # gumbel-max categorical it replaces cost O(g*C*nc) at production nc).
     key_c = jax.random.fold_in(jax.random.fold_in(key, 2), my)
-    cand = jnp.stack([
-        jax.random.categorical(
-            jax.random.fold_in(key_c, i), src_logits, shape=(C,)
-        )
-        for i in range(g)
-    ])  # [g_dest, C] local source ids
+    cand = sample_sources(key_c, opac, living, (g, C))  # [g_dest, C] local ids
     used = jnp.arange(C)[None, :] < cmat[:, my][:, None]  # [g_dest, C]
     extra = jnp.zeros((nc,), jnp.int32).at[
         jnp.where(used, cand, nc)
