@@ -193,3 +193,61 @@ class TestOddTileSizes:
                 np.asarray(gp[k]), np.asarray(gs[k]),
                 rtol=1e-4, atol=1e-7, err_msg=k,
             )
+
+
+class TestAlignKernelAB:
+    """The Pallas align-copy path (pallas/pack.py) vs the round-2 XLA
+    align_segments + pack_sorted_attrs path: identical pixels and grads."""
+
+    def _both(self, fn):
+        from tpugs.ops.pallas import composite as comp
+
+        saved = comp.ALIGN_KERNEL
+        try:
+            comp.ALIGN_KERNEL = True
+            a = fn()
+            comp.ALIGN_KERNEL = False
+            b = fn()
+        finally:
+            comp.ALIGN_KERNEL = saved
+        return a, b
+
+    def test_forward_bitexact(self):
+        params = make_params(80, seed=7)
+        a, b = self._both(lambda: run(params, "pallas", cfg=CFG32))
+        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+        np.testing.assert_array_equal(
+            np.asarray(a.final_T), np.asarray(b.final_T)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.n_contrib), np.asarray(b.n_contrib)
+        )
+
+    def test_grads_bitexact(self):
+        params = make_params(60, seed=8)
+        target = jnp.zeros((H, W, 3))
+
+        def loss():
+            def f(p):
+                out = run(p, "pallas")
+                return jnp.mean((out.color - target) ** 2)
+
+            return jax.grad(f)(params)
+
+        ga, gb = self._both(loss)
+        for k in params:
+            np.testing.assert_array_equal(
+                np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+            )
+
+    def test_undersized_capacity_still_matches_scan(self):
+        # Clamped segments (max_hits small): the align copy must honor the
+        # clamp, not the raw sort runs.
+        cfg = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
+                           pair_capacity=4096, max_hits_per_tile=16)
+        params = make_params(120, seed=9, opac=(3.0, 8.0))
+        op = run(params, "pallas", cfg=cfg)
+        os_ = run(params, "scan", cfg=cfg)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )

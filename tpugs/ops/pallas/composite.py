@@ -646,6 +646,12 @@ import os as _os
 
 KERNEL_GEOMETRY = _os.environ.get("TPUGS_KERNEL_GEOMETRY", "transposed")
 
+# Align-layout producer. "1" (default): the Pallas align-copy kernel —
+# per-tile sequential DMA re-layout (pallas/pack.py), no [P_aligned]-scale
+# ownership/gather ops. "0": the round-2 align_segments + pack_sorted_attrs
+# XLA path, kept for A/B measurement.
+ALIGN_KERNEL = _os.environ.get("TPUGS_ALIGN_KERNEL", "1") == "1"
+
 
 def _kernel_impls():
     if KERNEL_GEOMETRY == "transposed":
@@ -670,11 +676,31 @@ def composite_tiles_pallas(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
 
 def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
                 background, row_offset=0):
-    p_aligned = _p_aligned(cfg)
-    astart, astop, aligned_gauss, avalid = align_segments(
-        tile_start, tile_stop, pair_gauss, p_aligned
-    )
-    attr = pack_sorted_attrs(aligned_gauss, means2d, conic, rgb, opac, p_aligned)
+    if ALIGN_KERNEL:
+        from tpugs.ops.pallas import pack as _pack
+
+        astart, astop, counts = _pack.aligned_offsets(tile_start, tile_stop)
+        p_aligned = _pack.p_aligned_chunked(cfg.pair_capacity, cfg.num_tiles)
+        pc_pad = cfg.pair_capacity + _pack.CHUNK + 2 * _pack.LANE_ALIGN
+        attr_c = _pack.pack_compact_attrs(
+            pair_gauss, means2d, conic, rgb, opac, pc_pad
+        )
+        attr = _pack.align_copy_pallas(
+            attr_c, tile_start, astart, counts, p_aligned,
+            interpret=_interpret(),
+        )
+        # Aligned gauss ids / validity ride the copy as attr rows; gaps are
+        # zero (valid 0.0), only the tail slack past astop[-1] is unwritten.
+        aligned_gauss = attr[_pack.GID_ROW].astype(jnp.int32)
+        avalid = attr[_pack.VALID_ROW] > 0.5
+    else:
+        p_aligned = _p_aligned(cfg)
+        astart, astop, aligned_gauss, avalid = align_segments(
+            tile_start, tile_stop, pair_gauss, p_aligned
+        )
+        attr = pack_sorted_attrs(
+            aligned_gauss, means2d, conic, rgb, opac, p_aligned
+        )
     fwd_impl, _ = _kernel_impls()
     color, t, nc, kl = fwd_impl(
         cfg, astart, astop, attr, row_offset, interpret=_interpret()
