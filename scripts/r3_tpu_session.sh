@@ -4,6 +4,8 @@
 # Run from the repo root when the tunnel is up. Each step appends to
 # $OUT so a dropped tunnel loses at most one step.
 set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 OUT=${1:-/tmp/r3_tpu_results.txt}
 run() {
   echo "=== $* === $(date +%H:%M:%S)" | tee -a "$OUT"

@@ -56,7 +56,11 @@ from tpugs.ops.rasterize_tiled import (
     T_THRESHOLD,
 )
 
-EWAVE = 16  # entries per vector wave (sublane axis)
+EWAVE = 16  # entries per vector sub-wave (sublane axis)
+GROUP = 128  # entries per dynamically-indexed lane group (Mosaic requires
+#              dynamic lane offsets provably 128-aligned; the EWAVE sub-wave
+#              slices inside a group are STATIC, which is free)
+GSUB = GROUP // EWAVE  # sub-waves unrolled per group
 CHUNK = 512  # entries per DMA chunk
 
 
@@ -152,8 +156,8 @@ def _fwd_kernel(cfg: RasterConfig,
     px, py = _pixel_coords_row(cfg, t, rowoff_ref[0])
 
     n_chunks = pl.cdiv(num, CHUNK)
-    wpc = CHUNK // EWAVE
-    n_waves = pl.cdiv(num, EWAVE)
+    gpc = CHUNK // GROUP
+    n_groups = pl.cdiv(num, GROUP)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -166,18 +170,20 @@ def _fwd_kernel(cfg: RasterConfig,
     def _():
         dma(0, 0).start()
 
-    # Wave-granular early exit every EWAVE entries (vs 128 in the lane-wave
-    # geometry — finer, so saturating pixels stop sooner).
+    # Group-granular early exit every GROUP entries (same 128-entry
+    # granularity as the lane-wave geometry; the EWAVE sub-waves inside a
+    # group are a static unroll because Mosaic only allows dynamic lane
+    # offsets that are provably 128-aligned).
     def cond(carry):
-        w, T, Cr, Cg, Cb, nc, kl = carry
-        return (w < n_waves) & (jnp.max(T) >= T_THRESHOLD)
+        g, T, Cr, Cg, Cb, nc, kl = carry
+        return (g < n_groups) & (jnp.max(T) >= T_THRESHOLD)
 
     def body(carry):
-        w, T, Cr, Cg, Cb, nc, kl = carry
-        chunk_idx = w // wpc
+        g, T, Cr, Cg, Cb, nc, kl = carry
+        chunk_idx = g // gpc
         slot = chunk_idx % 2
 
-        @pl.when(w % wpc == 0)
+        @pl.when(g % gpc == 0)
         def _():
             @pl.when(chunk_idx + 1 < n_chunks)
             def _():
@@ -185,42 +191,45 @@ def _fwd_kernel(cfg: RasterConfig,
 
             dma(slot, chunk_idx).wait()
 
-        base = (w % wpc) * EWAVE
-        attr_t = jnp.transpose(
-            chunk_buf[slot, :, pl.ds(base, EWAVE)]
-        )  # (EWAVE, ATTR_ROWS)
-        r_w = attr_t[:, 6:7]  # (EWAVE, 1)
-        g_w = attr_t[:, 7:8]
-        b_w = attr_t[:, 8:9]
-
-        dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha_t(
-            attr_t, px, py, w * EWAVE, num
-        )
-        a_eff = jnp.where(passes, alpha, 0.0)
-        incl = _sub_prefix_prod_incl(1.0 - a_eff)  # (EWAVE, pix)
-        excl = _sub_shift_down_fill(incl, 1, 1.0)
-
-        T_before = T * excl  # (1, pix) * (EWAVE, pix)
-        gate = T_before >= T_THRESHOLD
-        w_px = jnp.where(gate, a_eff * T_before, 0.0)
+        base_g = (g % gpc) * GROUP
+        grp = chunk_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)]
 
         def acc(v):
             return jnp.sum(v, axis=0, keepdims=True)  # (1, pix)
 
-        Cr = Cr + acc(w_px * r_w)
-        Cg = Cg + acc(w_px * g_w)
-        Cb = Cb + acc(w_px * b_w)
+        for j in range(GSUB):
+            attr_t = jnp.transpose(
+                grp[:, j * EWAVE:(j + 1) * EWAVE]
+            )  # (EWAVE, ATTR_ROWS)
+            r_w = attr_t[:, 6:7]  # (EWAVE, 1)
+            g_w = attr_t[:, 7:8]
+            b_w = attr_t[:, 8:9]
 
-        # excl is non-increasing along entries, so the T gate is a prefix:
-        # post-wave transmittance = T * incl at the last gated entry — one
-        # sublane-min instead of a second suffix tree.
-        T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=0, keepdims=True)
-        contrib = (a_eff > 0.0) & gate
-        nc = nc + acc(contrib.astype(jnp.int32))
-        kl = jnp.maximum(
-            kl, jnp.max(jnp.where(contrib, kidx, -1), axis=0, keepdims=True)
-        )
-        return (w + 1, T, Cr, Cg, Cb, nc, kl)
+            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha_t(
+                attr_t, px, py, g * GROUP + j * EWAVE, num
+            )
+            a_eff = jnp.where(passes, alpha, 0.0)
+            incl = _sub_prefix_prod_incl(1.0 - a_eff)  # (EWAVE, pix)
+            excl = _sub_shift_down_fill(incl, 1, 1.0)
+
+            T_before = T * excl  # (1, pix) * (EWAVE, pix)
+            gate = T_before >= T_THRESHOLD
+            w_px = jnp.where(gate, a_eff * T_before, 0.0)
+
+            Cr = Cr + acc(w_px * r_w)
+            Cg = Cg + acc(w_px * g_w)
+            Cb = Cb + acc(w_px * b_w)
+
+            # excl is non-increasing along entries, so the T gate is a
+            # prefix: post-wave transmittance = T * incl at the last gated
+            # entry — one sublane-min instead of a second suffix tree.
+            T = T * jnp.min(jnp.where(gate, incl, 1.0), axis=0, keepdims=True)
+            contrib = (a_eff > 0.0) & gate
+            nc = nc + acc(contrib.astype(jnp.int32))
+            kl = jnp.maximum(
+                kl, jnp.max(jnp.where(contrib, kidx, -1), axis=0, keepdims=True)
+            )
+        return (g + 1, T, Cr, Cg, Cb, nc, kl)
 
     pix = cfg.pix
     init = (
@@ -232,13 +241,13 @@ def _fwd_kernel(cfg: RasterConfig,
         jnp.zeros((1, pix), jnp.int32),
         jnp.full((1, pix), -1, jnp.int32),
     )
-    w_f, T, Cr, Cg, Cb, nc, kl = jax.lax.while_loop(cond, body, init)
+    g_f, T, Cr, Cg, Cb, nc, kl = jax.lax.while_loop(cond, body, init)
 
-    # Await any in-flight prefetch started for the wave after an early exit
+    # Await any in-flight prefetch started for the group after an early exit
     # (same semaphore-balance argument as the lane-wave kernel).
-    @pl.when((w_f > 0) & (w_f < n_waves))
+    @pl.when((g_f > 0) & (g_f < n_groups))
     def _():
-        c_done = (w_f - 1) // wpc
+        c_done = (g_f - 1) // gpc
 
         @pl.when(c_done + 1 < n_chunks)
         def _():
@@ -353,81 +362,88 @@ def _bwd_kernel(cfg: RasterConfig,
         def _():
             dma_out(slot, c + 2).wait()
 
-        # Zero-fill once; the wave loop writes only ACTIVE waves (waves whose
-        # entries are all past every pixel's last contributor produce zero
-        # grads and unchanged T/R, so they are skipped wholesale).
+        # Zero-fill once; the group loop writes only ACTIVE groups (groups
+        # whose entries are all past every pixel's last contributor produce
+        # zero grads and unchanged T/R, so they are skipped wholesale).
         out_buf[slot, :, :] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
 
-        wpc_ = CHUNK // EWAVE
-        n_active = jnp.clip((max_kl - c * CHUNK) // EWAVE + 1, 0, wpc_)
+        gpc_ = CHUNK // GROUP
+        n_active = jnp.clip((max_kl - c * CHUNK) // GROUP + 1, 0, gpc_)
 
-        def wave_grads(w_rev, wcarry):
+        def group_grads(g_rev, wcarry):
             Th, Rh = wcarry
-            w = n_active - 1 - w_rev  # reverse wave order
-            base = w * EWAVE
-            base_idx = c * CHUNK + base
+            g = n_active - 1 - g_rev  # reverse group order
+            base_g = g * GROUP
+            grp = in_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)]
 
-            attr_t = jnp.transpose(
-                in_buf[slot, :, pl.ds(base, EWAVE)]
-            )  # (EWAVE, ATTR_ROWS)
-            dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha_t(
-                attr_t, px, py, base_idx, num
+            pieces = [None] * GSUB
+            for j in reversed(range(GSUB)):
+                base_idx = c * CHUNK + base_g + j * EWAVE
+                attr_t = jnp.transpose(
+                    grp[:, j * EWAVE:(j + 1) * EWAVE]
+                )  # (EWAVE, ATTR_ROWS)
+                dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha_t(
+                    attr_t, px, py, base_idx, num
+                )
+                contrib = passes & (kidx <= kl)
+                a_g = jnp.where(contrib, alpha, 0.0)
+                om = jnp.maximum(1.0 - a_g, 1e-5)
+
+                sp = _sub_suffix_prod_incl(om)  # sp[e] = prod_{k>=e} om_k
+                T_before = Th / sp  # (EWAVE, pix)
+
+                r_w = attr_t[:, 6:7]
+                g_w = attr_t[:, 7:8]
+                b_w = attr_t[:, 8:9]
+                dCdot = dcr * r_w + dcg * g_w + dcb * b_w  # (EWAVE, pix)
+                w_px = a_g * T_before
+                contribX = w_px * dCdot
+
+                s_incl = _sub_suffix_sum_incl(contribX)
+                s_excl = _sub_shift_up_fill(s_incl, 1, 0.0)
+
+                g_alpha = jnp.where(
+                    contrib, T_before * dCdot - (s_excl + Rh) / om, 0.0
+                )
+                clamp_ok = (alpha_raw < ALPHA_CLAMP).astype(jnp.float32)
+                g_op_px = g_alpha * gauss * clamp_ok
+                g_pow = g_alpha * alpha * clamp_ok
+
+                ca = attr_t[:, 2:3]
+                cb_w = attr_t[:, 3:4]
+                cc = attr_t[:, 4:5]
+                g_dx = g_pow * (2.0 * ca * dx + cb_w * dy)
+                g_dy = g_pow * (cb_w * dx + 2.0 * cc * dy)
+
+                def rsum(x):
+                    return jnp.sum(x, axis=1, keepdims=True)  # (EWAVE, 1)
+
+                grad_t = jnp.concatenate(
+                    [
+                        -rsum(g_dx),  # d mean_x
+                        -rsum(g_dy),  # d mean_y
+                        rsum(g_pow * (dx * dx)),  # d conic_a_scaled
+                        rsum(g_pow * (dx * dy)),  # d conic_b_scaled
+                        rsum(g_pow * (dy * dy)),  # d conic_c_scaled
+                        rsum(g_op_px),  # d opac
+                        rsum(w_px * dcr),  # d r
+                        rsum(w_px * dcg),  # d g
+                        rsum(w_px * dcb),  # d b
+                        jnp.zeros((EWAVE, ATTR_ROWS - NUM_ATTR), jnp.float32),
+                    ],
+                    axis=1,
+                )  # (EWAVE, ATTR_ROWS)
+                pieces[j] = jnp.transpose(grad_t)  # (ATTR_ROWS, EWAVE)
+
+                Th = Th / sp[0:1, :]  # whole-sub-wave transmittance peel
+                Rh = Rh + s_incl[0:1, :]
+
+            out_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)] = (
+                jnp.concatenate(pieces, axis=1)
             )
-            contrib = passes & (kidx <= kl)
-            a_g = jnp.where(contrib, alpha, 0.0)
-            om = jnp.maximum(1.0 - a_g, 1e-5)
-
-            sp = _sub_suffix_prod_incl(om)  # sp[e] = prod_{k>=e} om_k
-            T_before = Th / sp  # (EWAVE, pix)
-
-            r_w = attr_t[:, 6:7]
-            g_w = attr_t[:, 7:8]
-            b_w = attr_t[:, 8:9]
-            dCdot = dcr * r_w + dcg * g_w + dcb * b_w  # (EWAVE, pix)
-            w_px = a_g * T_before
-            contribX = w_px * dCdot
-
-            s_incl = _sub_suffix_sum_incl(contribX)
-            s_excl = _sub_shift_up_fill(s_incl, 1, 0.0)
-
-            g_alpha = jnp.where(
-                contrib, T_before * dCdot - (s_excl + Rh) / om, 0.0
-            )
-            clamp_ok = (alpha_raw < ALPHA_CLAMP).astype(jnp.float32)
-            g_op_px = g_alpha * gauss * clamp_ok
-            g_pow = g_alpha * alpha * clamp_ok
-
-            ca = attr_t[:, 2:3]
-            cb_w = attr_t[:, 3:4]
-            cc = attr_t[:, 4:5]
-            g_dx = g_pow * (2.0 * ca * dx + cb_w * dy)
-            g_dy = g_pow * (cb_w * dx + 2.0 * cc * dy)
-
-            def rsum(x):
-                return jnp.sum(x, axis=1, keepdims=True)  # (EWAVE, 1)
-
-            grad_t = jnp.concatenate(
-                [
-                    -rsum(g_dx),  # d mean_x
-                    -rsum(g_dy),  # d mean_y
-                    rsum(g_pow * (dx * dx)),  # d conic_a_scaled
-                    rsum(g_pow * (dx * dy)),  # d conic_b_scaled
-                    rsum(g_pow * (dy * dy)),  # d conic_c_scaled
-                    rsum(g_op_px),  # d opac
-                    rsum(w_px * dcr),  # d r
-                    rsum(w_px * dcg),  # d g
-                    rsum(w_px * dcb),  # d b
-                    jnp.zeros((EWAVE, ATTR_ROWS - NUM_ATTR), jnp.float32),
-                ],
-                axis=1,
-            )  # (EWAVE, ATTR_ROWS)
-            out_buf[slot, :, pl.ds(base, EWAVE)] = jnp.transpose(grad_t)
-
-            Th = Th / sp[0:1, :]  # whole-wave transmittance peel
-            Rh = Rh + s_incl[0:1, :]
             return Th, Rh
 
-        T_run, R = jax.lax.fori_loop(0, n_active, wave_grads, (T_run, R))
+        T_run, R = jax.lax.fori_loop(0, n_active, group_grads, (T_run, R))
         dma_out(slot, c).start()
         return T_run, R
 

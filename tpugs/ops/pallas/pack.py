@@ -129,7 +129,12 @@ def _align_copy_kernel(start_ref, astart_ref, counts_ref,  # scalar prefetch
         def _():
             dma_out(slot, c - 2).wait()
 
-        val = in_buf[slot, :, pl.ds(off, CHUNK)]
+        # Mosaic cannot vector-load at a dynamic lane offset unless it is
+        # provably 128-aligned; a dynamic lane ROTATE is supported, so shift
+        # the whole buffer left by `off` and take a static CHUNK-wide slice.
+        wide = CHUNK + LANE_ALIGN
+        rolled = pltpu.roll(in_buf[slot], wide - off, axis=1)
+        val = rolled[:, :CHUNK]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (ATTR_ROWS, CHUNK), 1)
         out_buf[slot, :, :] = jnp.where(lanes < num - c * CHUNK, val, 0.0)
         dma_out(slot, c).start()
