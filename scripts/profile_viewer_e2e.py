@@ -12,18 +12,23 @@ import jax.numpy as jnp
 
 import tpugs.ops.binning as B
 from tpugs.ops.binning import clamp_tile_segments, presort_by_depth
-from tpugs.ops.pallas.composite import (
-    _kernel_impls, _p_aligned, align_segments, pack_sorted_attrs,
-)
+from tpugs.ops.pallas import pack as PK
+from tpugs.ops.pallas.composite import _interpret, _kernel_impls
 from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig, tiles_to_image
 from tpugs.utils.profiling import device_time
 from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
+import sys
+
 img_w, img_h = 1920, 1088
 n = 1_000_000
-cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
-                   pair_capacity=3_407_872, max_hits_per_tile=4096)
+# argv: [tile_h tile_w pair_capacity max_hits] (defaults = round-2 reference)
+_a = [int(x) for x in sys.argv[1:]]
+cfg = RasterConfig(img_h=img_h, img_w=img_w,
+                   tile_h=_a[0] if _a else 32, tile_w=_a[1] if _a else 32,
+                   pair_capacity=_a[2] if len(_a) > 2 else 3_407_872,
+                   max_hits_per_tile=_a[3] if len(_a) > 3 else 4096)
 params = synthetic_params(n, seed=0, scale_range=(0.002, 0.015))
 alive = jnp.ones((n,), bool)
 viewmat = jnp.eye(4)
@@ -105,14 +110,18 @@ def upto(stage):
         b, _mh = clamp_tile_segments(b, cfg.max_hits_per_tile)
         if stage == "ranges":
             return (feed(b.pair_gauss) + feed(b.tile_start), p)
-        p_al = _p_aligned(cfg)
-        a0, a1, ag, av = align_segments(b.tile_start, b.tile_stop,
-                                        b.pair_gauss, p_al)
-        if stage == "align":
-            return (feed(ag) + feed(a0), p)
-        attr = pack_sorted_attrs(ag, proj_p.means2d, proj_p.conic, proj_p.rgb,
-                                 proj_p.opac, p_al)
+        # ---- production ALIGN_KERNEL path (composite._pallas_fwd) ----
+        a0, a1, cts = PK.aligned_offsets(b.tile_start, b.tile_stop)
+        p_al = PK.p_aligned_chunked(cap, num_tiles)
+        pc_pad = cap + PK.CHUNK + 2 * PK.LANE_ALIGN
+        attr_c = PK.pack_compact_attrs(
+            b.pair_gauss, proj_p.means2d, proj_p.conic, proj_p.rgb,
+            proj_p.opac, pc_pad)
         if stage == "pack":
+            return (feed(attr_c) + feed(a0), p)
+        attr = PK.align_copy_pallas(attr_c, b.tile_start, a0, cts, p_al,
+                                    interpret=_interpret())
+        if stage == "align":
             return (feed(attr) + feed(a0), p)
         fwd, _ = _kernel_impls()
         color, t, nc, kl = fwd(cfg, a0, a1, attr)
@@ -125,7 +134,7 @@ def upto(stage):
 
 
 prev = 0.0
-for s in ["proj", "presort", "expand", "sort", "ranges", "align", "pack",
+for s in ["proj", "presort", "expand", "sort", "ranges", "pack", "align",
           "kernel", "full"]:
     ms = device_time(upto(s), (jnp.zeros(()), params), k=6, rounds=2) * 1e3
     print(f"e2e through {s:8s} {ms:8.2f} ms  (+{ms - prev:7.2f})", flush=True)

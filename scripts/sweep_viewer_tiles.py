@@ -17,9 +17,9 @@ intr = synthetic_intrinsics(img_w, img_h)
 bg = jnp.zeros((3,))
 
 
-def bench(th, tw, cap):
+def bench(th, tw, cap, max_hits=4096):
     cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=th, tile_w=tw,
-                       pair_capacity=cap, max_hits_per_tile=4096)
+                       pair_capacity=cap, max_hits_per_tile=max_hits)
 
     def frame(c, it):
         z, p = c
@@ -49,9 +49,12 @@ def bench(th, tw, cap):
 # carries/outputs are lane-padded 128x by Mosaic (composite._fwd_pix_limit).
 # Round-3 transposed geometry (pixels on lanes) lifts that: every tile-size
 # doubling halves the pair count, so sweep the whole ladder.
-bench(32, 32, 3_407_872)   # round-2 reference point
-bench(32, 64, 2_097_152)   # pix 2048 (uncompilable before round 3)
-bench(64, 32, 2_097_152)
-bench(64, 64, 1_048_576)   # pix 4096
-bench(64, 128, 786_432)    # pix 8192
-bench(128, 128, 524_288)   # pix 16384
+# Honest r3 ladder (exact caps, presort="exact"): 32x32 187.2 / 32x64 175.9
+# / 64x32 176.0 / 64x64 188.1 / 64x128 227.1 ms. Then scripts/ab_presort.py
+# found presort=False is 56 ms faster in context at N=1M (121 vs 177 at
+# 32x64) and render's default became "auto" (False at this N) — re-sweep at
+# the new frontier:
+bench(32, 32, 3_407_872)                   # round-2 reference point (exact)
+bench(32, 64, 2_621_440, max_hits=8192)    # pairs 2.03M, max/tile 6415
+bench(64, 32, 2_621_440, max_hits=8192)    # pairs 2.03M, max/tile 6389
+bench(64, 64, 2_097_152, max_hits=16384)   # pairs 1.61M, max/tile 10611

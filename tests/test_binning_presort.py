@@ -156,3 +156,63 @@ class TestPresortedRender:
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
                 err_msg=name,
             )
+
+
+class TestFastPresort:
+    """Quantized single-u32 presort (quant_bits > 0): bit-identical to the
+    exact presort when every visible depth lands in a distinct bin; stable
+    index tie-break inside a bin; invisible gaussians sort to the back."""
+
+    def test_distinct_bins_bit_identical(self):
+        # Depths on a coarse grid so 12-bit bins are injective over them.
+        proj = _proj(with_ties=False)
+        nlevels = 64
+        q = jnp.round(
+            (proj.depths - 0.5) / 19.5 * (nlevels - 1)
+        ) / (nlevels - 1) * 19.5 + 0.5
+        proj = proj.replace(depths=q)
+        perm_e, pe = presort_by_depth(proj)
+        perm_f, pf = presort_by_depth(proj, quant_bits=12)
+        np.testing.assert_array_equal(np.asarray(perm_e), np.asarray(perm_f))
+        for a, b in zip(jax.tree.leaves(pe), jax.tree.leaves(pf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ties_break_by_index_and_invisible_last(self):
+        proj = _proj(with_ties=True)
+        _, pf = presort_by_depth(proj, quant_bits=12)
+        d = np.asarray(jnp.where(pf.visible, pf.depths, np.inf))
+        nvis = int(np.asarray(proj.visible).sum())
+        # visible block first, then invisible
+        assert np.all(np.isfinite(d[:nvis])) and np.all(~np.isfinite(d[nvis:]))
+        # quantized order: depths non-decreasing up to one bin width
+        binw = (d[:nvis].max() - d[:nvis].min()) / (2**12 - 2)
+        assert np.all(np.diff(d[:nvis]) > -binw - 1e-6)
+
+    def test_fast_render_close_to_exact(self):
+        # Random depths (ties within bins reorder) — the image must stay
+        # within a loose tolerance of the exact path (bounded reorder error).
+        rng = np.random.default_rng(7)
+        n = 300
+        means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        kw = dict(
+            viewmat=jnp.eye(4),
+            intrinsics=jnp.asarray([60.0, 60.0, 48.0, 32.0]),
+            cfg=RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                             pair_capacity=CAP, max_hits_per_tile=256),
+            sh_degree=1,
+            background=jnp.zeros(3),
+            compositor="scan",
+        )
+        args = (jnp.asarray(means),
+                jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+                jnp.asarray(rng.uniform(-3.2, -1.8, (n, 3)).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 1.5, n).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)),
+                jnp.ones(n, bool))
+        a = render(*args, **kw, presort="exact")
+        b = render(*args, **kw, presort="fast")
+        assert int(a.num_pairs) == int(b.num_pairs)
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(b.color), atol=0.05
+        )

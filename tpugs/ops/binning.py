@@ -116,7 +116,7 @@ def cull_radius_sq(proj: ProjectionOutput) -> jnp.ndarray:
     return jnp.where(proj.visible, r2, 0.0)
 
 
-def presort_by_depth(proj: ProjectionOutput):
+def presort_by_depth(proj: ProjectionOutput, quant_bits: int = 0):
     """Sort the per-Gaussian projection outputs front-to-back ONCE per frame
     ([N]-sized ops) so pair binning can sort by (tile, INDEX) instead of
     (tile, depth): after the presort the gaussian index IS the depth rank.
@@ -125,10 +125,23 @@ def presort_by_depth(proj: ProjectionOutput):
     packed u32 key per pair (bin_gaussians(presorted=True)), and drops the
     depth column from the [P, 8] row table.
 
-    Exactness: stable argsort keeps equal-depth gaussians in original-index
-    order — the same tie-break the (tile, depth, g) 2-key stable sort
-    applies — so the composited image is bit-identical (pinned by
+    Exactness (quant_bits=0): stable argsort keeps equal-depth gaussians in
+    original-index order — the same tie-break the (tile, depth, g) 2-key
+    stable sort applies — so the composited image is bit-identical (pinned by
     tests/test_binning.py).
+
+    quant_bits > 0 — the FAST path (viewer): XLA's single-array u32 sort is
+    ~20x faster than the 2-array (f32 key, i32 payload) stable sort at
+    N = 1M (scripts/bench_sort.py; the exact presort was +101 ms of a 175 ms
+    1080p/1M frame). Pack (depth bin << idx_bits | index) into ONE u32: the
+    low bits ARE the permutation, ties inside a bin break by original index
+    (stable). Depth is quantized linearly over the visible [min, max] range
+    into min(quant_bits, 32 - idx_bits) bins — BOUNDED error: only gaussians
+    whose depths fall in the same bin (width = range / 2^bits, e.g. 1/4096th
+    of the depth range at 12 bits) can composite out of exact depth order;
+    gaussians with bin-distinct depths are ordered exactly. When every
+    visible depth lands in a distinct bin the result is bit-identical to the
+    exact path (pinned by tests/test_binning_presort.py).
 
     Returns (perm [N] int32, permuted ProjectionOutput). Consumers must index
     the SAME permuted arrays with the resulting pair_gauss ids; gradients
@@ -136,9 +149,25 @@ def presort_by_depth(proj: ProjectionOutput):
     """
     n = proj.depths.shape[0]
     sort_key = jnp.where(proj.visible, proj.depths, jnp.inf)
-    _, perm = jax.lax.sort(
-        (sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
+    idx_bits = max(1, (n - 1).bit_length())
+    if quant_bits > 0 and idx_bits <= 31:
+        bits = min(quant_bits, 32 - idx_bits)
+        nbins = (1 << bits) - 1  # last bin = invisible sentinel
+        d = proj.depths
+        vis = proj.visible
+        dmin = jnp.min(jnp.where(vis, d, jnp.inf))
+        dmax = jnp.max(jnp.where(vis, d, -jnp.inf))
+        scale = (nbins - 1) / jnp.maximum(dmax - dmin, 1e-12)
+        binned = jnp.clip((d - dmin) * scale, 0, nbins - 1).astype(jnp.uint32)
+        binned = jnp.where(vis, binned, jnp.uint32(nbins))
+        key = (binned << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+        (skey,) = jax.lax.sort((key,), num_keys=1)
+        perm = (skey & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    else:
+        _, perm = jax.lax.sort(
+            (sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
     # One packed [N, 12] row gather instead of seven column gathers. radii
     # (< 2^24) and visible (0/1) are exact in f32.
     f32 = jnp.float32

@@ -56,14 +56,29 @@ def render(
     scale_modifier: float = 1.0,
     means2d_probe: Optional[jnp.ndarray] = None,
     compositor: str = "auto",
-    presort: bool = True,
+    presort="auto",
 ) -> RenderOutput:
     """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
     compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
     TPU and the lax.scan reference path elsewhere. presort: depth-presort the
     gaussians once per frame so the [P]-sized pair sort runs on a single
-    packed u32 key (binning.presort_by_depth — bit-identical output, pinned
-    by tests; False = the direct (tile, depth) 2-key sort, kept for A/B)."""
+    packed u32 key (binning.presort_by_depth). ALL modes render bit-identical
+    images (pinned by tests/test_binning_presort.py) — this is purely a
+    performance choice:
+      "auto"          presort only when N <= 2^18. The presort's [N]-row
+                      permutation gather is ~12 ms isolated but ~+56 ms IN
+                      CONTEXT at N=1M (scripts/ab_presort.py: 177 vs 121 ms
+                      full-frame at 1080p/1M) while the 2-key pair sort it
+                      replaces costs ~10 ms at P=2.6M — so big-N workloads
+                      are faster WITHOUT it, small-N training (50k: the
+                      bench config) keeps the 1-key win.
+      "exact" / True  always presort (stable 2-array argsort).
+      "fast"          quantized single-u32 presort (12-bit depth bins,
+                      bounded same-bin reorder) — measured SLOWER in context
+                      than exact at 1M (192 vs 177 ms); kept as an A/B knob.
+      False           the direct (tile, depth) 2-key sort."""
+    if presort == "auto":
+        presort = "exact" if means.shape[0] <= (1 << 18) else False
     proj = project_gaussians(
         means, quats, log_scales, opacity_logits, sh, alive,
         viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree, scale_modifier,
@@ -82,7 +97,8 @@ def render(
         proj_b = proj
         if means2d_probe is not None:
             proj_b = proj_b.replace(means2d=proj.means2d + means2d_probe)
-        _, proj_b = presort_by_depth(proj_b)
+        quant = 12 if presort == "fast" else 0
+        _, proj_b = presort_by_depth(proj_b, quant_bits=quant)
         means2d = proj_b.means2d
     else:
         proj_b = proj
@@ -97,7 +113,7 @@ def render(
     # compact path stays.
     binning = bin_gaussians(
         proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
-        cfg.pair_capacity, presorted=presort,
+        cfg.pair_capacity, presorted=bool(presort),
     )
     binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
     if compositor == "pallas":

@@ -59,7 +59,7 @@ class OfflineRenderer:
     def __init__(self, params: dict, sh_degree: int = -1,
                  tile: int = 32, pair_capacity: int = 1 << 21,
                  max_hits: int = 2048, on_overflow: str = "grow",
-                 log=None):
+                 log=None, presort: str = "auto"):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         n = self.params["means"].shape[0]
         self.alive = jnp.ones((n,), bool)
@@ -74,6 +74,10 @@ class OfflineRenderer:
         if on_overflow not in ("grow", "warn", "error"):
             raise ValueError(f"unknown on_overflow policy {on_overflow!r}")
         self.on_overflow = on_overflow
+        # "auto": presort only below N=2^18 — all modes are bit-identical,
+        # and at viewer scale (1M) skipping the presort is ~56 ms/frame
+        # faster (ops.render docstring; scripts/ab_presort.py).
+        self.presort = presort
         self.log = log if log is not None else _stderr_log
         self._render_jit = {}
         self._warned = set()
@@ -93,6 +97,7 @@ class OfflineRenderer:
                 out = render(
                     p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
                     p["sh"], alive, viewmat, intr, cfg, sh_degree, bg,
+                    presort=self.presort,
                 )
                 return (out.color, out.final_T, out.n_contrib, out.num_pairs,
                         out.pair_overflow, out.max_tile_hits, out.hit_overflow)
