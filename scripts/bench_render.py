@@ -14,8 +14,12 @@ from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
 img_w, img_h = 1920, 1088
 n = 1_000_000
-cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
-                   pair_capacity=1 << 22, max_hits_per_tile=4096)
+# Tile 64x32 is the r3 ladder winner (scripts/sweep_viewer_tiles.py: 118 ms
+# vs 131 at 32x32); capacity 1.05x the scene's 2.03M pairs (every [P]-sized
+# binning op scales with capacity — overflow asserted below), max_hits above
+# the busiest tile's 6389 entries (no truncation).
+cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=64, tile_w=32,
+                   pair_capacity=2_129_920, max_hits_per_tile=8192)
 # Realistic trained-scene statistics: a converged 1M-Gaussian model has
 # few-pixel screen footprints (the default synthetic scale_range is sized for
 # ~0.13 Mpix views and produces a pathological 19.7M pairs at 1080p).
@@ -41,3 +45,11 @@ def frame(c, it):
 ms = device_time(frame, (jnp.zeros(()), params), k=10, rounds=2) * 1e3
 print(f"1080p 1M-gaussian forward render: {ms:.2f} ms/frame = {1e3/ms:.1f} FPS",
       flush=True)
+
+# Honesty check: the tuned capacity must cover this scene exactly.
+out = jax.jit(lambda p: render(p["means"], p["quats"], p["log_scales"],
+                               p["opacity_logits"], p["sh"], alive, viewmat,
+                               intr, cfg, 3, bg))(params)
+assert not bool(out.pair_overflow), f"pair overflow ({int(out.num_pairs)})"
+assert not bool(out.hit_overflow), (
+    f"hit overflow ({int(out.max_tile_hits)} in busiest tile)")

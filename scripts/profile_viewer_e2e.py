@@ -23,12 +23,14 @@ import sys
 
 img_w, img_h = 1920, 1088
 n = 1_000_000
-# argv: [tile_h tile_w pair_capacity max_hits] (defaults = round-2 reference)
+# argv: [tile_h tile_w pair_capacity max_hits presort(0/1)]
+# (defaults = round-2 reference point, presorted path)
 _a = [int(x) for x in sys.argv[1:]]
 cfg = RasterConfig(img_h=img_h, img_w=img_w,
                    tile_h=_a[0] if _a else 32, tile_w=_a[1] if _a else 32,
                    pair_capacity=_a[2] if len(_a) > 2 else 3_407_872,
                    max_hits_per_tile=_a[3] if len(_a) > 3 else 4096)
+PRESORT = bool(_a[4]) if len(_a) > 4 else True
 params = synthetic_params(n, seed=0, scale_range=(0.002, 0.015))
 alive = jnp.ones((n,), bool)
 viewmat = jnp.eye(4)
@@ -53,7 +55,10 @@ def upto(stage):
             img_w, img_h, 3, 1.0)
         if stage == "proj":
             return (feed(proj.means2d) + feed(proj.rgb), p)
-        _, proj_p = presort_by_depth(proj)
+        if PRESORT:
+            _, proj_p = presort_by_depth(proj)
+        else:
+            proj_p = proj
         if stage == "presort":
             return (feed(proj_p.means2d) + feed(proj_p.opac), p)
 
@@ -69,10 +74,12 @@ def upto(stage):
         g = jnp.clip(jnp.cumsum(ind) - 1, 0, counts.shape[0] - 1)
         in_range = slots < jnp.minimum(total, cap)
         f32 = jnp.float32
-        table = jnp.stack(
-            [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
-             w_tiles.astype(f32),
-             proj_p.means2d[:, 0], proj_p.means2d[:, 1], r2_cull], axis=1)
+        cols = [offsets.astype(f32), tx0.astype(f32), ty0.astype(f32),
+                w_tiles.astype(f32),
+                proj_p.means2d[:, 0], proj_p.means2d[:, 1], r2_cull]
+        if not PRESORT:
+            cols.insert(4, proj_p.depths)
+        table = jnp.stack(cols, axis=1)
         rows = table[g]
         off_g = rows[:, 0].astype(jnp.int32)
         w_g = jnp.maximum(rows[:, 3].astype(jnp.int32), 1)
@@ -86,25 +93,41 @@ def upto(stage):
         dx = jnp.clip(gx, px0, px0 + (tile_w - 1)) - gx
         dy = jnp.clip(gy, py0, py0 + (tile_h - 1)) - gy
         valid = in_range & (dx * dx + dy * dy <= r2_g)
-        shift = B._packed_key_shift(counts.shape[0], num_tiles)
-        key = (tile_id.astype(jnp.uint32) << shift) | g.astype(jnp.uint32)
-        key = jnp.where(valid, key, jnp.uint32(num_tiles << shift))
-        if stage == "expand":
-            return (feed(key) + feed(total), p)
-        (sorted_key,) = jax.lax.sort((key,), num_keys=1)
-        if stage == "sort":
-            return (feed(sorted_key), p)
-        sorted_g = (sorted_key & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
-        bounds = jnp.arange(num_tiles, dtype=jnp.uint32) << shift
-        tile_start = jnp.searchsorted(sorted_key, bounds, side="left").astype(
-            jnp.int32)
-        tile_stop = jnp.searchsorted(
-            sorted_key, bounds + jnp.uint32(1 << shift), side="left"
-        ).astype(jnp.int32)
+        if PRESORT:
+            shift = B._packed_key_shift(counts.shape[0], num_tiles)
+            key = (tile_id.astype(jnp.uint32) << shift) | g.astype(jnp.uint32)
+            key = jnp.where(valid, key, jnp.uint32(num_tiles << shift))
+            if stage == "expand":
+                return (feed(key) + feed(total), p)
+            (sorted_key,) = jax.lax.sort((key,), num_keys=1)
+            if stage == "sort":
+                return (feed(sorted_key), p)
+            sorted_g = (sorted_key & jnp.uint32((1 << shift) - 1)).astype(
+                jnp.int32)
+            sorted_tile = (sorted_key >> shift).astype(jnp.int32)
+            bounds = jnp.arange(num_tiles, dtype=jnp.uint32) << shift
+            tile_start = jnp.searchsorted(
+                sorted_key, bounds, side="left").astype(jnp.int32)
+            tile_stop = jnp.searchsorted(
+                sorted_key, bounds + jnp.uint32(1 << shift), side="left"
+            ).astype(jnp.int32)
+        else:
+            tile_key = jnp.where(valid, tile_id, num_tiles)
+            depth = jnp.where(valid, rows[:, 4], jnp.inf)
+            if stage == "expand":
+                return (feed(tile_key) + feed(depth) + feed(total), p)
+            sorted_tile, _sd, sorted_g = jax.lax.sort(
+                (tile_key, depth.astype(f32), g), num_keys=2, is_stable=True)
+            if stage == "sort":
+                return (feed(sorted_tile) + feed(sorted_g), p)
+            tids = jnp.arange(num_tiles, dtype=jnp.int32)
+            tile_start = jnp.searchsorted(
+                sorted_tile, tids, side="left").astype(jnp.int32)
+            tile_stop = jnp.searchsorted(
+                sorted_tile, tids, side="right").astype(jnp.int32)
         # ---- end inlined internals ----
         b = B.BinningResult(
-            pair_gauss=sorted_g, pair_tile=(sorted_key >> shift).astype(
-                jnp.int32),
+            pair_gauss=sorted_g, pair_tile=sorted_tile,
             tile_start=tile_start, tile_stop=tile_stop,
             num_pairs=total, overflow=total > cap)
         b, _mh = clamp_tile_segments(b, cfg.max_hits_per_tile)

@@ -1,5 +1,6 @@
 """Core math tests (mirrors reference tests/test_sh.cpp & parts of
 test_projection.cpp)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -158,3 +159,54 @@ class TestSH:
             np.asarray(sh_lib.sh_dc_to_rgb(sh_lib.rgb_to_sh_dc(rgb))), np.asarray(rgb),
             atol=1e-6,
         )
+
+
+class TestScalarEWAChain:
+    """ewa_cov2d_scalar (the fused component-wise projection chain) must
+    match the matrix-form compute_cov2d(compute_cov3d(...)) oracle."""
+
+    def test_matches_matrix_form(self):
+        rng = np.random.default_rng(3)
+        n = 500
+        log_s = jnp.asarray(rng.uniform(-4, 0, (n, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32))
+        t = jnp.asarray(
+            np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                      rng.uniform(0.5, 10, n)], -1).astype(np.float32))
+        th = 0.3
+        W = jnp.asarray(np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+             [-np.sin(th), 0, np.cos(th)]], np.float32))
+        for mod in (1.0, 2.0):
+            ref = tf.compute_cov2d(
+                tf.compute_cov3d(log_s, q, mod), W, t, 120.0, 110.0)
+            got = tf.ewa_cov2d_scalar(log_s, q, W, t, 120.0, 110.0, mod)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches_matrix_form(self):
+        rng = np.random.default_rng(4)
+        n = 64
+        log_s = jnp.asarray(rng.uniform(-3, -1, (n, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32))
+        t = jnp.asarray(
+            np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                      rng.uniform(1, 5, n)], -1).astype(np.float32))
+        W = jnp.eye(3)
+
+        def loss_m(ls, qq, tt):
+            return jnp.sum(
+                tf.compute_cov2d(tf.compute_cov3d(ls, qq), W, tt, 100.0,
+                                 100.0) ** 2)
+
+        def loss_s(ls, qq, tt):
+            return jnp.sum(
+                tf.ewa_cov2d_scalar(ls, qq, W, tt, 100.0, 100.0) ** 2)
+
+        gm = jax.grad(loss_m, argnums=(0, 1, 2))(log_s, q, t)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2))(log_s, q, t)
+        # f32 association-order noise only (finite-diff suite is the
+        # authoritative gradient pin).
+        for a, b in zip(gm, gs):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)

@@ -1,0 +1,189 @@
+"""Pallas pair-expansion kernel (ops/pallas/expand.py +
+binning.bin_gaussians_expand_kernel) must reproduce the XLA expansion's
+sorted segments BIT-IDENTICALLY — same per-tile contents in the same
+(depth, original-index) order — including overflow truncation, invisible
+gaussians, clamped rects, and the corner cull. Interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugs.ops.binning import (
+    bin_gaussians,
+    bin_gaussians_expand_kernel,
+    clamp_tile_segments,
+)
+from tpugs.ops.pallas.expand import GC, expand_capacity
+from tpugs.ops.projection import ProjectionOutput
+from tpugs.ops.rasterize_tiled import RasterConfig
+from tpugs.ops.render import render
+
+W, H, TILE = 96, 64, 16
+CAP = 8192
+
+
+def _proj(n=300, seed=0, big_rects=False):
+    rng = np.random.default_rng(seed)
+    means2d = rng.uniform(-10, [W + 10, H + 10], (n, 2)).astype(np.float32)
+    depths = rng.uniform(0.5, 20, n).astype(np.float32)
+    depths[50:60] = depths[40]  # exact ties
+    conic = np.abs(rng.normal(0.1, 0.05, (n, 3))).astype(np.float32)
+    conic[:, 1] *= 0.1
+    visible = rng.uniform(0, 1, n) > 0.1
+    hi = 80 if big_rects else 25
+    radii = np.where(visible, rng.integers(1, hi, n), 0).astype(np.int32)
+    return ProjectionOutput(
+        means2d=jnp.asarray(means2d),
+        depths=jnp.asarray(depths),
+        conic=jnp.asarray(conic),
+        radii=jnp.asarray(radii),
+        rgb=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        opac=jnp.asarray(rng.uniform(0.05, 0.95, n).astype(np.float32)),
+        visible=jnp.asarray(visible),
+    )
+
+
+def _assert_segments_equal(b_ref, b_new):
+    ts_r, te_r = np.asarray(b_ref.tile_start), np.asarray(b_ref.tile_stop)
+    ts_n, te_n = np.asarray(b_new.tile_start), np.asarray(b_new.tile_stop)
+    np.testing.assert_array_equal(te_r - ts_r, te_n - ts_n)
+    g_r, g_n = np.asarray(b_ref.pair_gauss), np.asarray(b_new.pair_gauss)
+    for t in range(ts_r.shape[0]):
+        np.testing.assert_array_equal(
+            g_r[ts_r[t]:te_r[t]], g_n[ts_n[t]:te_n[t]], err_msg=f"tile {t}"
+        )
+    assert int(b_ref.num_pairs) == int(b_new.num_pairs)
+    assert bool(b_ref.overflow) == bool(b_new.overflow)
+
+
+class TestExpandKernelParity:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_segments_bit_identical(self, seed):
+        proj = _proj(seed=seed)
+        b_ref = bin_gaussians(proj, W, H, TILE, TILE, CAP)
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True
+        )
+        assert b_new.pair_gauss.shape[0] == expand_capacity(
+            CAP, -(-proj.depths.shape[0] // GC) * GC
+        )
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_big_rects_many_blocks(self):
+        # Radii up to 80 px -> rects spanning many tiles; chunk output spans
+        # exceed one OB block, exercising the multi-block DMA loop.
+        proj = _proj(seed=5, big_rects=True)
+        b_ref = bin_gaussians(proj, W, H, TILE, TILE, 1 << 15)
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, 1 << 15, interpret=True
+        )
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_overflow_truncation_matches(self):
+        proj = _proj(seed=7, big_rects=True)
+        cap = 1024  # far below the true pair count
+        b_ref = bin_gaussians(proj, W, H, TILE, TILE, cap)
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, cap, interpret=True
+        )
+        assert bool(b_new.overflow)
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_all_invisible(self):
+        proj = _proj(seed=1)
+        proj = proj.replace(visible=jnp.zeros_like(proj.visible))
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True
+        )
+        assert int(b_new.num_pairs) == 0
+        np.testing.assert_array_equal(
+            np.asarray(b_new.tile_start), np.asarray(b_new.tile_stop)
+        )
+
+    def test_clamped_segments_match(self):
+        proj = _proj(seed=2, big_rects=True)
+        b_ref, mh_ref = clamp_tile_segments(
+            bin_gaussians(proj, W, H, TILE, TILE, 1 << 15), 64
+        )
+        b_new, mh_new = clamp_tile_segments(
+            bin_gaussians_expand_kernel(
+                proj, W, H, TILE, TILE, 1 << 15, interpret=True
+            ),
+            64,
+        )
+        assert int(mh_ref) == int(mh_new)
+        _assert_segments_equal(b_ref, b_new)
+
+
+class TestExpandKernelRender:
+    def test_render_parity_vs_scan(self):
+        """compositor='pallas' + presort=False routes binning through the
+        expand kernel (interpret on CPU); the image must match the scan
+        reference path bit-for-bit."""
+        rng = np.random.default_rng(11)
+        n = 400
+        means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        kw = dict(
+            viewmat=jnp.eye(4),
+            intrinsics=jnp.asarray([60.0, 60.0, 48.0, 32.0]),
+            cfg=RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                             pair_capacity=CAP, max_hits_per_tile=256),
+            sh_degree=1,
+            background=jnp.asarray([0.1, 0.2, 0.3]),
+        )
+        args = (jnp.asarray(means),
+                jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+                jnp.asarray(rng.uniform(-3.2, -1.8, (n, 3)).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 1.5, n).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)),
+                jnp.ones(n, bool))
+        a = render(*args, **kw, compositor="scan", presort=False)
+        b = render(*args, **kw, compositor="pallas", presort=False)
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(b.color), rtol=2e-6, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.final_T), np.asarray(b.final_T), rtol=2e-6, atol=2e-6
+        )
+        assert int(a.num_pairs) == int(b.num_pairs)
+
+    def test_gradients_flow(self):
+        """jax.grad through the expand-kernel path (stop_gradient inside the
+        binning plumbing; gradients flow via the compositor) must match the
+        XLA-binning pallas path exactly."""
+        rng = np.random.default_rng(13)
+        n = 200
+        means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        kw = dict(
+            viewmat=jnp.eye(4),
+            intrinsics=jnp.asarray([60.0, 60.0, 48.0, 32.0]),
+            cfg=RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                             pair_capacity=CAP, max_hits_per_tile=256),
+            sh_degree=1,
+            background=jnp.zeros(3),
+        )
+        args = (jnp.asarray(means),
+                jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+                jnp.asarray(rng.uniform(-3.2, -1.8, (n, 3)).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 1.5, n).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)))
+        alive = jnp.ones(n, bool)
+
+        def loss(compositor, m, q, s, o, sh):
+            out = render(m, q, s, o, sh, alive, **kw,
+                         compositor=compositor, presort=False)
+            return jnp.sum(out.color ** 2)
+
+        import functools
+        ga = jax.grad(functools.partial(loss, "pallas"),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        gb = jax.grad(functools.partial(loss, "scan"),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b, name in zip(ga, gb, ["means", "quats", "ls", "op", "sh"]):
+            # pallas vs scan differ by f32 accumulation order only.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6,
+                err_msg=name,
+            )

@@ -135,3 +135,66 @@ def inv_cov2d(cov2d: jnp.ndarray):
 def world_to_camera_points(positions: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
     """Transform world points [..., 3] by a 4x4 world->camera matrix."""
     return positions @ viewmat[:3, :3].T + viewmat[:3, 3]
+
+
+def ewa_cov2d_scalar(log_scales, quats, W, t_cam, fx, fy,
+                     scale_modifier: float = 1.0):
+    """Fused component-wise EWA chain: (log_scales [N,3], quats [N,4],
+    W [3,3], t_cam [N,3]) -> packed 2D covariance (a, b, c) [N, 3].
+
+    Same math as compute_cov2d(compute_cov3d(...), ...) — pinned to ~1e-5 by
+    tests/test_core_math.py — but written as [N]-vector component arithmetic
+    with NO [N, 3, 3] / [N, 2, 3] intermediates. The matrix form compiles to
+    batched tiny dot_generals on TPU: bf16 MXU passes over T(2,128)/T(4,128)
+    layouts plus relayout copies and layout-strided component extraction —
+    measured ~36 ms/frame at N=1M of a 108 ms viewer frame (round-3 xprof
+    trace, docs/PERF_NOTES.md). The component form is one VPU loop fusion
+    (~100 multiply-adds/gaussian, f32 end to end — also removes the MXU's
+    bf16 rounding from the forward covariance).
+    """
+    s = jnp.exp(log_scales + jnp.log(scale_modifier + 1e-8))  # [N, 3]
+    q = quats / jnp.sqrt(jnp.sum(quats * quats, -1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    # M = R diag(s), m_ij = r_ij * s_j (reference: projection.cuh:65-90).
+    m00 = (1.0 - 2.0 * (y * y + z * z)) * s0
+    m01 = (2.0 * (x * y - w * z)) * s1
+    m02 = (2.0 * (x * z + w * y)) * s2
+    m10 = (2.0 * (x * y + w * z)) * s0
+    m11 = (1.0 - 2.0 * (x * x + z * z)) * s1
+    m12 = (2.0 * (y * z - w * x)) * s2
+    m20 = (2.0 * (x * z - w * y)) * s0
+    m21 = (2.0 * (y * z + w * x)) * s1
+    m22 = (1.0 - 2.0 * (x * x + y * y)) * s2
+    # Sigma = M M^T, 6 unique components.
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+    # T = J W with J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
+    # (reference: projection.cuh:113-165). W rows are per-frame scalars.
+    tx, ty, tz = t_cam[..., 0], t_cam[..., 1], t_cam[..., 2]
+    tz_inv = 1.0 / (tz + 1e-6)
+    j00 = fx * tz_inv
+    j02 = -fx * tx * tz_inv * tz_inv
+    j11 = fy * tz_inv
+    j12 = -fy * ty * tz_inv * tz_inv
+    t00 = j00 * W[0, 0] + j02 * W[2, 0]
+    t01 = j00 * W[0, 1] + j02 * W[2, 1]
+    t02 = j00 * W[0, 2] + j02 * W[2, 2]
+    t10 = j11 * W[1, 0] + j12 * W[2, 0]
+    t11 = j11 * W[1, 1] + j12 * W[2, 1]
+    t12 = j11 * W[1, 2] + j12 * W[2, 2]
+    # cov2d = T Sigma T^T via u_i = Sigma T_i^T.
+    u00 = c00 * t00 + c01 * t01 + c02 * t02
+    u01 = c01 * t00 + c11 * t01 + c12 * t02
+    u02 = c02 * t00 + c12 * t01 + c22 * t02
+    u10 = c00 * t10 + c01 * t11 + c02 * t12
+    u11 = c01 * t10 + c11 * t11 + c12 * t12
+    u12 = c02 * t10 + c12 * t11 + c22 * t12
+    a = t00 * u00 + t01 * u01 + t02 * u02 + COV2D_LOWPASS
+    b = t10 * u00 + t11 * u01 + t12 * u02
+    c = t10 * u10 + t11 * u11 + t12 * u12 + COV2D_LOWPASS
+    return jnp.stack([a, b, c], axis=-1)

@@ -355,6 +355,92 @@ def bin_gaussians(
     )
 
 
+def bin_gaussians_expand_kernel(
+    proj: ProjectionOutput,
+    img_w: int,
+    img_h: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+    interpret: bool = False,
+) -> BinningResult:
+    """bin_gaussians(presorted=False) with the EXPANSION done by the Pallas
+    kernel (ops/pallas/expand.py) instead of XLA's scatter + cumsum +
+    [P, 8] row gather (~58 ms of a 118 ms 1080p/1M viewer frame in context).
+
+    Bit-identical sorted segments (tests/test_expand_pallas.py): the kernel
+    emits real pairs in the same gaussian-major slot order, padding slots
+    carry the sentinel tile id, and the same stable 2-key (tile, depth)
+    sort puts them at the back. The result arrays are expand.expand_capacity
+    long (~12% over pair_capacity at GC=256) instead of pair_capacity —
+    every consumer is shape-agnostic. Full-frame only (the tile-sharded
+    slice path keeps the XLA expansion)."""
+    from tpugs.ops.pallas import expand as EX
+
+    ntx = -(-img_w // tile_w)
+    nty = -(-img_h // tile_h)
+    num_tiles = ntx * nty
+
+    r2_cull = cull_radius_sq(proj)
+    tx0, ty0, w_tiles, h_tiles = tile_rects(
+        proj, img_w, img_h, tile_w, tile_h, r2_cull
+    )
+    counts = w_tiles * h_tiles
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+
+    n = counts.shape[0]
+    f32 = jnp.float32
+    table = jnp.stack(
+        [offsets.astype(f32), counts.astype(f32), tx0.astype(f32),
+         ty0.astype(f32), jnp.maximum(w_tiles, 1).astype(f32),
+         proj.means2d[:, 0], proj.means2d[:, 1], r2_cull, proj.depths,
+         jnp.arange(n, dtype=f32)],
+        axis=0,
+    )  # [10, N]
+    n_pad = -(-n // EX.GC) * EX.GC
+    table = jnp.pad(table, ((0, EX.ROWS - table.shape[0]), (0, n_pad - n)))
+    # Index plumbing only — no gradient flows through binning (booleans and
+    # ints downstream); stop_gradient keeps autodiff from tracing the kernel.
+    table = jax.lax.stop_gradient(table)
+
+    nc = n_pad // EX.GC
+    # Chunk pair-offsets; padded gaussians start at `total` with count 0.
+    offsets_pad = jnp.concatenate(
+        [offsets, jnp.full((n_pad - n,), total, offsets.dtype)]
+    )
+    coffs = jnp.concatenate([offsets_pad[:: EX.GC], total[None]])
+    coffs = jnp.minimum(coffs, pair_capacity).astype(jnp.int32)
+    spans = jnp.diff(coffs)
+    pspan = -(-spans // EX.PAD_ALIGN) * EX.PAD_ALIGN
+    abase = (jnp.cumsum(pspan) - pspan).astype(jnp.int32)
+    fill_start = (abase[-1] + pspan[-1]).astype(jnp.int32)
+
+    p_out = EX.expand_capacity(pair_capacity, n_pad)
+    out = EX.expand_pairs_pallas(
+        table, coffs, abase, fill_start[None], num_tiles, ntx,
+        tile_w, tile_h, p_out, interpret=interpret,
+    )
+    sorted_tile_f, _sd, sorted_g_f = jax.lax.sort(
+        (out[0], out[1], out[2]), num_keys=2, is_stable=True
+    )
+    tids = jnp.arange(num_tiles, dtype=f32)
+    tile_start = jnp.searchsorted(sorted_tile_f, tids, side="left").astype(
+        jnp.int32
+    )
+    tile_stop = jnp.searchsorted(sorted_tile_f, tids, side="right").astype(
+        jnp.int32
+    )
+    return BinningResult(
+        pair_gauss=sorted_g_f.astype(jnp.int32),
+        pair_tile=jnp.minimum(sorted_tile_f, num_tiles).astype(jnp.int32),
+        tile_start=tile_start,
+        tile_stop=tile_stop,
+        num_pairs=total,
+        overflow=total > pair_capacity,
+    )
+
+
 @struct.dataclass
 class AlignedBinningResult:
     """Sorted pair list in the ALIGNED layout the Pallas kernels stream:

@@ -681,7 +681,10 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
 
         astart, astop, counts = _pack.aligned_offsets(tile_start, tile_stop)
         p_aligned = _pack.p_aligned_chunked(cfg.pair_capacity, cfg.num_tiles)
-        pc_pad = cfg.pair_capacity + _pack.CHUNK + 2 * _pack.LANE_ALIGN
+        # The pair list may be longer than pair_capacity (the Pallas expand
+        # kernel emits a padded layout, binning.bin_gaussians_expand_kernel);
+        # real entries never exceed capacity, so p_aligned is unaffected.
+        pc_pad = pair_gauss.shape[0] + _pack.CHUNK + 2 * _pack.LANE_ALIGN
         attr_c = _pack.pack_compact_attrs(
             pair_gauss, means2d, conic, rgb, opac, pc_pad
         )
@@ -707,13 +710,13 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
     )
     color = color + t[..., None] * background[None, None, :]
     res = (astart, astop, aligned_gauss, avalid, attr, t, kl, background,
-           means2d.shape[0], row_offset)
+           means2d.shape[0], row_offset, pair_gauss.shape[0])
     return (color, t, nc), res
 
 
 def _pallas_bwd(cfg, res, cot):
     (astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n,
-     row_offset) = res
+     row_offset, n_pairs) = res
     d_color, d_finalT, _d_nc = cot
 
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
@@ -743,7 +746,7 @@ def _pallas_bwd(cfg, res, cot):
     return (
         np.zeros(astart.shape, jax.dtypes.float0),  # tile_start
         np.zeros(astop.shape, jax.dtypes.float0),  # tile_stop
-        np.zeros((cfg.pair_capacity,), jax.dtypes.float0),  # pair_gauss
+        np.zeros((n_pairs,), jax.dtypes.float0),  # pair_gauss
         d_means2d,
         d_conic,
         d_rgb,

@@ -64,10 +64,15 @@ def project_gaussians(
     y_screen = fy * t_cam[..., 1] / safe_z + cy
     means2d = jnp.stack([x_screen, y_screen], axis=-1)
 
-    cov3d = tf.compute_cov3d(log_scales, quats, scale_modifier)
     # Guard the EWA Jacobian against z ~ 0 for culled points.
     t_guard = jnp.where(in_front[..., None], t_cam, jnp.ones_like(t_cam))
-    cov2d = tf.compute_cov2d(cov3d, W, t_guard, fx, fy)
+    # Fused component-wise EWA chain — same math as
+    # compute_cov2d(compute_cov3d(...)) but no [N,3,3]/[N,2,3] intermediates
+    # (those compile to bf16 MXU batched tiny dots + layout copies, ~36 ms
+    # per 1M-gaussian frame; see ewa_cov2d_scalar).
+    cov2d = tf.ewa_cov2d_scalar(
+        log_scales, quats, W, t_guard, fx, fy, scale_modifier
+    )
     conic, det = tf.inv_cov2d(cov2d)
 
     radius = tf.radius_from_cov2d(cov2d)

@@ -111,10 +111,23 @@ def render(
     # formulation (321 vs ~285 ms at 1080p/1M — scatters are the expensive
     # primitive on TPU, docs/PERF_NOTES.md round-2 negative results), so the
     # compact path stays.
-    binning = bin_gaussians(
-        proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
-        cfg.pair_capacity, presorted=bool(presort),
-    )
+    if compositor == "pallas" and not presort:
+        # Pallas expansion kernel: replaces the XLA scatter+cumsum+row-gather
+        # expansion (~58 ms of a 118 ms 1080p/1M frame in context) with
+        # sequential chunk writes + one-hot MXU ownership. Same sorted
+        # segments bit-for-bit (tests/test_expand_pallas.py).
+        from tpugs.ops.binning import bin_gaussians_expand_kernel
+        from tpugs.ops.pallas.composite import _interpret
+
+        binning = bin_gaussians_expand_kernel(
+            proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
+            cfg.pair_capacity, interpret=_interpret(),
+        )
+    else:
+        binning = bin_gaussians(
+            proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
+            cfg.pair_capacity, presorted=bool(presort),
+        )
     binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
     if compositor == "pallas":
         from tpugs.ops.pallas.composite import composite_tiles_pallas
