@@ -50,11 +50,15 @@ def bench(th, tw, cap, max_hits=4096):
 # Round-3 transposed geometry (pixels on lanes) lifts that: every tile-size
 # doubling halves the pair count, so sweep the whole ladder.
 # Honest r3 ladder (exact caps, presort="exact"): 32x32 187.2 / 32x64 175.9
-# / 64x32 176.0 / 64x64 188.1 / 64x128 227.1 ms. Then scripts/ab_presort.py
-# found presort=False is 56 ms faster in context at N=1M (121 vs 177 at
-# 32x64) and render's default became "auto" (False at this N) — re-sweep at
-# the new frontier:
-bench(32, 32, 3_407_872)                   # round-2 reference point (exact)
+# / 64x32 176.0 / 64x64 188.1 / 64x128 227.1 ms. With presort=auto (off at
+# 1M): 32x32 131.4 / 32x64 119.0 / 64x32 118.3 / 64x64 130.4. After the
+# scalar EWA chain + Pallas expand kernel the [P]-plumbing collapsed and
+# the composite kernel (which evaluates every entry against ALL tile
+# pixels) dominates — smaller tiles trade pair count for lane utilization,
+# so sweep down the ladder too:
+bench(16, 32, 4_194_304)                   # pix 512
+bench(16, 64, 3_407_872)                   # pix 1024
+bench(32, 32, 3_407_872)                   # pairs 2.56M, max/tile 3878
 bench(32, 64, 2_621_440, max_hits=8192)    # pairs 2.03M, max/tile 6415
 bench(64, 32, 2_621_440, max_hits=8192)    # pairs 2.03M, max/tile 6389
 bench(64, 64, 2_097_152, max_hits=16384)   # pairs 1.61M, max/tile 10611

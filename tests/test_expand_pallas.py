@@ -187,3 +187,59 @@ class TestExpandKernelRender:
                 np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6,
                 err_msg=name,
             )
+
+
+class TestExpandKernelPresorted:
+    """presorted=True: single packed u32 key built from the kernel's
+    tile/gid rows must give the same segments as the XLA presorted path —
+    including the >32-bit fallback."""
+
+    def test_segments_bit_identical(self):
+        from tpugs.ops.binning import presort_by_depth
+
+        proj = _proj(seed=4)
+        _, proj_p = presort_by_depth(proj)
+        b_ref = bin_gaussians(proj_p, W, H, TILE, TILE, CAP, presorted=True)
+        b_new = bin_gaussians_expand_kernel(
+            proj_p, W, H, TILE, TILE, CAP, interpret=True, presorted=True
+        )
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_u32_unfit_fallback(self, monkeypatch):
+        import tpugs.ops.binning as binning_mod
+        from tpugs.ops.binning import presort_by_depth
+
+        proj = _proj(seed=6)
+        _, proj_p = presort_by_depth(proj)
+        b_ref = bin_gaussians(proj_p, W, H, TILE, TILE, CAP, presorted=True)
+        monkeypatch.setattr(binning_mod, "_packed_key_shift", lambda *a: None)
+        b_new = bin_gaussians_expand_kernel(
+            proj_p, W, H, TILE, TILE, CAP, interpret=True, presorted=True
+        )
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_render_presorted_kernel_parity(self):
+        rng = np.random.default_rng(17)
+        n = 300
+        means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        kw = dict(
+            viewmat=jnp.eye(4),
+            intrinsics=jnp.asarray([60.0, 60.0, 48.0, 32.0]),
+            cfg=RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                             pair_capacity=CAP, max_hits_per_tile=256),
+            sh_degree=1,
+            background=jnp.zeros(3),
+        )
+        args = (jnp.asarray(means),
+                jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+                jnp.asarray(rng.uniform(-3.2, -1.8, (n, 3)).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 1.5, n).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)),
+                jnp.ones(n, bool))
+        a = render(*args, **kw, compositor="scan", presort="exact")
+        b = render(*args, **kw, compositor="pallas", presort="exact")
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(b.color), rtol=2e-6, atol=2e-6
+        )
+        assert int(a.num_pairs) == int(b.num_pairs)

@@ -363,18 +363,23 @@ def bin_gaussians_expand_kernel(
     tile_h: int,
     pair_capacity: int,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> BinningResult:
-    """bin_gaussians(presorted=False) with the EXPANSION done by the Pallas
-    kernel (ops/pallas/expand.py) instead of XLA's scatter + cumsum +
-    [P, 8] row gather (~58 ms of a 118 ms 1080p/1M viewer frame in context).
+    """bin_gaussians with the EXPANSION done by the Pallas kernel
+    (ops/pallas/expand.py) instead of XLA's scatter + cumsum + [P, 8] row
+    gather (~58 ms of a 118 ms 1080p/1M viewer frame in context).
 
     Bit-identical sorted segments (tests/test_expand_pallas.py): the kernel
     emits real pairs in the same gaussian-major slot order, padding slots
-    carry the sentinel tile id, and the same stable 2-key (tile, depth)
-    sort puts them at the back. The result arrays are expand.expand_capacity
-    long (~12% over pair_capacity at GC=256) instead of pair_capacity —
-    every consumer is shape-agnostic. Full-frame only (the tile-sharded
-    slice path keeps the XLA expansion)."""
+    carry the sentinel tile id, and the same sort puts them at the back.
+    presorted=True requires `proj` from presort_by_depth (gaussian index ==
+    depth rank) and sorts ONE packed u32 key built from the kernel's
+    tile/gid rows — gap slots pack to exactly the sentinel key since their
+    tile id is num_tiles and gid is 0. Falls back to the 2-key sort when
+    ids don't fit 32 bits (same budget as bin_gaussians). The result arrays
+    are expand.expand_capacity long (~12% over pair_capacity at GC=256)
+    instead of pair_capacity — every consumer is shape-agnostic. Full-frame
+    only (the tile-sharded slice path keeps the XLA expansion)."""
     from tpugs.ops.pallas import expand as EX
 
     ntx = -(-img_w // tile_w)
@@ -421,9 +426,41 @@ def bin_gaussians_expand_kernel(
         table, coffs, abase, fill_start[None], num_tiles, ntx,
         tile_w, tile_h, p_out, interpret=interpret,
     )
-    sorted_tile_f, _sd, sorted_g_f = jax.lax.sort(
-        (out[0], out[1], out[2]), num_keys=2, is_stable=True
-    )
+    shift = _packed_key_shift(n, num_tiles) if presorted else None
+    if shift is not None:
+        # gid IS the depth rank: one packed u32 key. Gap slots pack to the
+        # sentinel (tile num_tiles, gid 0).
+        key = (out[0].astype(jnp.uint32) << shift) | out[2].astype(
+            jnp.uint32
+        )
+        (skey,) = jax.lax.sort((key,), num_keys=1)
+        sorted_g = (skey & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
+        sorted_tile = jnp.minimum(skey >> shift, num_tiles).astype(jnp.int32)
+        bounds = jnp.arange(num_tiles, dtype=jnp.uint32) << shift
+        tile_start = jnp.searchsorted(skey, bounds, side="left").astype(
+            jnp.int32
+        )
+        tile_stop = jnp.searchsorted(
+            skey, bounds + jnp.uint32(1 << shift), side="left"
+        ).astype(jnp.int32)
+        return BinningResult(
+            pair_gauss=sorted_g,
+            pair_tile=sorted_tile,
+            tile_start=tile_start,
+            tile_stop=tile_stop,
+            num_pairs=total,
+            overflow=total > pair_capacity,
+        )
+    if presorted:
+        # Ids don't fit one u32: 2-array (tile, gid) sort — gid order is
+        # depth order, same as bin_gaussians' fallback.
+        sorted_tile_f, sorted_g_f = jax.lax.sort(
+            (out[0], out[2]), num_keys=2, is_stable=False
+        )
+    else:
+        sorted_tile_f, _sd, sorted_g_f = jax.lax.sort(
+            (out[0], out[1], out[2]), num_keys=2, is_stable=True
+        )
     tids = jnp.arange(num_tiles, dtype=f32)
     tile_start = jnp.searchsorted(sorted_tile_f, tids, side="left").astype(
         jnp.int32

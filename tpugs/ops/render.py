@@ -111,7 +111,7 @@ def render(
     # formulation (321 vs ~285 ms at 1080p/1M — scatters are the expensive
     # primitive on TPU, docs/PERF_NOTES.md round-2 negative results), so the
     # compact path stays.
-    if compositor == "pallas" and not presort:
+    if compositor == "pallas":
         # Pallas expansion kernel: replaces the XLA scatter+cumsum+row-gather
         # expansion (~58 ms of a 118 ms 1080p/1M frame in context) with
         # sequential chunk writes + one-hot MXU ownership. Same sorted
@@ -122,6 +122,7 @@ def render(
         binning = bin_gaussians_expand_kernel(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
+            presorted=bool(presort),
         )
     else:
         binning = bin_gaussians(
