@@ -47,6 +47,15 @@ class BinningResult:
     tile_stop: jnp.ndarray
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray
+    # Pair->gaussian reduction metadata (bin_gaussians_expand_kernel with
+    # reduce_meta=True only; None otherwise). The expansion domain is
+    # gaussian-major by construction, so the backward's per-pair gradient
+    # reduction becomes a monotone segment sum (ops/pallas/segreduce.py)
+    # instead of a random scatter-add.
+    exp_slot: jnp.ndarray | None = None  # [P] expansion slot per sorted pair
+    red_start: jnp.ndarray | None = None  # [n_pad] interval start per gauss
+    red_count: jnp.ndarray | None = None  # [n_pad] interval length per gauss
+    exp_end: jnp.ndarray | None = None  # [] aligned end of real expansion
 
 
 def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int,
@@ -364,6 +373,7 @@ def bin_gaussians_expand_kernel(
     pair_capacity: int,
     interpret: bool = False,
     presorted: bool = False,
+    reduce_meta: bool = False,
 ) -> BinningResult:
     """bin_gaussians with the EXPANSION done by the Pallas kernel
     (ops/pallas/expand.py) instead of XLA's scatter + cumsum + [P, 8] row
@@ -379,7 +389,14 @@ def bin_gaussians_expand_kernel(
     ids don't fit 32 bits (same budget as bin_gaussians). The result arrays
     are expand.expand_capacity long (~12% over pair_capacity at GC=256)
     instead of pair_capacity — every consumer is shape-agnostic. Full-frame
-    only (the tile-sharded slice path keeps the XLA expansion)."""
+    only (the tile-sharded slice path keeps the XLA expansion).
+
+    reduce_meta=True additionally emits the pair->gaussian reduction
+    metadata (exp_slot/red_start/red_count/exp_end fields): the sorts carry
+    an iota payload recording each sorted pair's expansion slot, and the
+    per-gaussian expansion intervals are derived elementwise from the chunk
+    tables — no extra passes over [P]. Forward-only callers (viewer) leave
+    it off and pay nothing."""
     from tpugs.ops.pallas import expand as EX
 
     ntx = -(-img_w // tile_w)
@@ -426,6 +443,29 @@ def bin_gaussians_expand_kernel(
         table, coffs, abase, fill_start[None], num_tiles, ntx,
         tile_w, tile_h, p_out, interpret=interpret,
     )
+
+    meta = {}
+    if reduce_meta:
+        # Per-gaussian expansion interval [red_start, red_start+red_count),
+        # with the kernel's exact per-chunk truncation semantics (a chunk's
+        # slots are clipped to span = coffs[c+1]-coffs[c]). broadcast_to +
+        # reshape replaces a [n_pad] gather at chunk_idx (repeat is free).
+        rep = lambda a: jnp.broadcast_to(
+            a[:, None], (nc, EX.GC)).reshape(-1)
+        cbase = rep(coffs[:-1])
+        cspan = rep(spans)
+        cabase = rep(abase)
+        counts_pad = jnp.concatenate(
+            [counts, jnp.zeros((n_pad - n,), counts.dtype)]
+        )
+        lo = jnp.clip(offsets_pad - cbase, 0, cspan)
+        hi = jnp.clip(offsets_pad + counts_pad - cbase, 0, cspan)
+        meta = dict(
+            red_start=(cabase + lo).astype(jnp.int32),
+            red_count=(hi - lo).astype(jnp.int32),
+            exp_end=fill_start,
+        )
+
     shift = _packed_key_shift(n, num_tiles) if presorted else None
     if shift is not None:
         # gid IS the depth rank: one packed u32 key. Gap slots pack to the
@@ -433,7 +473,13 @@ def bin_gaussians_expand_kernel(
         key = (out[0].astype(jnp.uint32) << shift) | out[2].astype(
             jnp.uint32
         )
-        (skey,) = jax.lax.sort((key,), num_keys=1)
+        if reduce_meta:
+            skey, exp_slot = jax.lax.sort(
+                (key, jnp.arange(p_out, dtype=jnp.int32)), num_keys=1
+            )
+            meta["exp_slot"] = exp_slot
+        else:
+            (skey,) = jax.lax.sort((key,), num_keys=1)
         sorted_g = (skey & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
         sorted_tile = jnp.minimum(skey >> shift, num_tiles).astype(jnp.int32)
         bounds = jnp.arange(num_tiles, dtype=jnp.uint32) << shift
@@ -450,17 +496,23 @@ def bin_gaussians_expand_kernel(
             tile_stop=tile_stop,
             num_pairs=total,
             overflow=total > pair_capacity,
+            **meta,
         )
+    iota = (jnp.arange(p_out, dtype=jnp.int32),) if reduce_meta else ()
     if presorted:
         # Ids don't fit one u32: 2-array (tile, gid) sort — gid order is
         # depth order, same as bin_gaussians' fallback.
-        sorted_tile_f, sorted_g_f = jax.lax.sort(
-            (out[0], out[2]), num_keys=2, is_stable=False
+        # (tile, gid) pairs are unique, so stability is irrelevant even
+        # with the iota payload.
+        sorted_tile_f, sorted_g_f, *rest = jax.lax.sort(
+            (out[0], out[2], *iota), num_keys=2, is_stable=False
         )
     else:
-        sorted_tile_f, _sd, sorted_g_f = jax.lax.sort(
-            (out[0], out[1], out[2]), num_keys=2, is_stable=True
+        sorted_tile_f, _sd, sorted_g_f, *rest = jax.lax.sort(
+            (out[0], out[1], out[2], *iota), num_keys=2, is_stable=True
         )
+    if reduce_meta:
+        meta["exp_slot"] = rest[0]
     tids = jnp.arange(num_tiles, dtype=f32)
     tile_start = jnp.searchsorted(sorted_tile_f, tids, side="left").astype(
         jnp.int32
@@ -475,6 +527,7 @@ def bin_gaussians_expand_kernel(
         tile_stop=tile_stop,
         num_pairs=total,
         overflow=total > pair_capacity,
+        **meta,
     )
 
 

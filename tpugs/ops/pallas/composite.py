@@ -835,3 +835,121 @@ def _pallas_pre_bwd(cfg, res, cot):
 
 
 composite_tiles_pallas_pre.defvjp(_pallas_pre_fwd, _pallas_pre_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Segment-reduce variant: same forward as composite_tiles_pallas, but the
+# backward's pair->gaussian reduction runs as a monotone segment sum
+# (ops/pallas/segreduce.py) instead of an XLA scatter-add — the scatter was
+# the single largest op in the train step (225 ms of a 336 ms garden step;
+# docs/PERF_NOTES.md r3). Requires the expansion metadata that
+# binning.bin_gaussians_expand_kernel(reduce_meta=True) emits.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_tiles_pallas_segred(cfg: RasterConfig, tile_start, tile_stop,
+                                  pair_gauss, pair_tile, exp_slot, red_start,
+                                  red_count, exp_end, means2d, conic, rgb,
+                                  opac, background, row_offset=0):
+    """composite_tiles_pallas with a segment-sum backward reduction.
+
+    pair_tile/exp_slot/red_start/red_count/exp_end are the BinningResult
+    reduction-metadata fields (reduce_meta=True); tile_stop must be the
+    CLAMPED stops (clamp_tile_segments), so dropped front-K entries are
+    excluded from both the forward and the gradient — identical semantics
+    to the scatter path's avalid masking."""
+    out, _ = _segred_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_tile,
+                         exp_slot, red_start, red_count, exp_end, means2d,
+                         conic, rgb, opac, background, row_offset)
+    return out
+
+
+def _segred_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_tile, exp_slot,
+                red_start, red_count, exp_end, means2d, conic, rgb, opac,
+                background, row_offset=0):
+    out, inner = _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d,
+                             conic, rgb, opac, background, row_offset)
+    return out, (inner, tile_start, tile_stop, pair_tile, exp_slot,
+                 red_start, red_count, exp_end)
+
+
+def _segred_bwd(cfg, res, cot):
+    from tpugs.ops.pallas import segreduce as SR
+
+    (inner, tile_start, tile_stop, pair_tile, exp_slot, red_start, red_count,
+     exp_end) = res
+    (astart, _astop, _aligned_gauss, _avalid, attr, final_t, kl, background,
+     n, row_offset, n_pairs) = inner
+    d_color, d_finalT, _d_nc = cot
+
+    dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
+    r0 = (dc_dot_bg + d_finalT) * final_t
+
+    _, bwd_impl = _kernel_impls()
+    d_attr = bwd_impl(
+        cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
+        interpret=_interpret(),
+    )  # [ATTR_ROWS, P_aligned]
+
+    # Re-order the per-pair gradient rows into the gaussian-major expansion
+    # domain: (1) each sorted pair's aligned position is elementwise
+    # (astart[tile] + rank within tile, valid iff inside the CLAMPED stop);
+    # (2) one u32 sort keyed on the expansion slot inverts the pair sort.
+    # Gap/culled/clamped/sentinel slots land on the appended zero rows.
+    i32 = jnp.int32
+    p_al = attr.shape[1]
+    # Pad rows to a full 128-lane tile (physically free — a [P, 16] f32
+    # array is 128-lane padded in HBM anyway) so the kernel can DMA whole
+    # rows; +8 zero sublane rows give invalid slots a zero target.
+    rows16 = jnp.pad(
+        d_attr.T, ((0, 8), (0, SR.IN_LANES - d_attr.shape[0]))
+    )  # [P_al + 8, IN_LANES]
+    zero_idx = p_al
+    p_out = pair_tile.shape[0]
+    tbl = jnp.concatenate(
+        [jnp.stack([tile_start, tile_stop, astart], axis=1),
+         jnp.zeros((1, 3), i32)],
+        axis=0,
+    )  # [num_tiles + 1, 3] — one row-table gather for all three lookups
+    rowsT = tbl[jnp.minimum(pair_tile, cfg.num_tiles)]
+    s_iota = jnp.arange(p_out, dtype=i32)
+    a_s = rowsT[:, 2] + (s_iota - rowsT[:, 0])
+    valid = (s_iota < rowsT[:, 1]) & (pair_tile < cfg.num_tiles)
+    a_fold = jnp.where(valid, a_s, zero_idx)
+    _, a_e = jax.lax.sort((exp_slot.astype(jnp.uint32), a_fold), num_keys=1)
+    p_in = -(-p_out // SR.C) * SR.C + SR.C
+    a_e = jnp.pad(a_e, (0, p_in - p_out), constant_values=zero_idx)
+    gathered = rows16[a_e]  # [p_in, ATTR_ROWS] gid-major gradient rows
+
+    acc16 = SR.segment_reduce_pallas(
+        gathered, red_start, red_count, exp_end, interpret=_interpret()
+    )  # [ATTR_ROWS, n_pad]
+    acc = acc16[:NUM_ATTR, :n].T  # [n, 9]
+
+    d_means2d = acc[:, 0:2]
+    d_conic = acc[:, 2:5] * jnp.asarray([-0.5, -1.0, -0.5], acc.dtype)
+    d_opac = acc[:, 5]
+    d_rgb = acc[:, 6:9]
+    d_bg = jnp.einsum("tpc,tp->c", d_color, final_t)
+
+    f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+    return (
+        f0(tile_start),
+        f0(tile_stop),
+        np.zeros((n_pairs,), jax.dtypes.float0),  # pair_gauss
+        f0(pair_tile),
+        f0(exp_slot),
+        f0(red_start),
+        f0(red_count),
+        f0(exp_end),
+        d_means2d,
+        d_conic,
+        d_rgb,
+        d_opac,
+        d_bg,
+        f0(row_offset),
+    )
+
+
+composite_tiles_pallas_segred.defvjp(_segred_fwd, _segred_bwd)

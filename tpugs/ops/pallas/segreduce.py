@@ -1,0 +1,164 @@
+"""Pallas monotone segment-reduce kernel — the pair->gaussian gradient
+reduction as blocked interval-one-hot matmuls.
+
+The backward pass must sum per-pair gradient rows into per-gaussian
+accumulators. The XLA formulation (`zeros([N, 9]).at[gid].add(rows)`) is a
+serial random read-modify-write over an HBM-resident table: measured
+94 ns/update at garden scale — 225 ms of a 336 ms train step, the single
+largest op in the build (docs/PERF_NOTES.md r3). The reference solves the
+same problem with atomicAdd shared-memory staging
+(/root/reference/src/rasterizer/backward.cu); TPUs have no atomics, but the
+expansion layout built by ops/pallas/expand.py is *gaussian-major by
+construction*: gaussian g's pairs occupy one contiguous slot interval
+[estart[g], estart[g]+ecount[g]) of the expansion domain. Once the per-pair
+gradient rows are re-ordered into that domain (one u32 sort + one row
+gather, see ops/pallas/composite.py::_segred_bwd), the reduction is a
+segment sum over *monotone, non-overlapping* intervals:
+
+- grid over blocks of W gaussians; block b's intervals cover the contiguous
+  slot range [estart[W*b], estart[W*(b+1)]) — streamed with double-buffered
+  sequential DMA (no random access);
+- per C-slot chunk, segment membership is an interval one-hot
+  (estart[g] <= slot < estart[g]+ecount[g]) and the per-segment sum is ONE
+  MXU matmul: rows[C, 16]^T-contracted against onehot[C, W] -> [16, W]
+  partials accumulated in VMEM (the same one-hot-matmul trick as the expand
+  kernel, run in reverse);
+- precision=HIGHEST keeps the f32 rows exact (one-hot x f32 is a pure sum);
+- slots belonging to no interval (chunk-alignment gaps, culled rect
+  positions, sentinel tail) match no one-hot column and contribute zero.
+
+Output: [ATTR_ROWS, n_pad] f32 — attribute rows on sublanes, gaussians on
+lanes, written as aligned disjoint [16, W] blocks (no flush/carry logic:
+a segment belongs to exactly one gaussian and blocks are whole gaussians).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 512  # gaussians per grid step (multiple of 128; sets matmul width)
+C = 512  # expansion slots per inner DMA/compute chunk
+ROWS = 16  # gradient rows per pair (pack.ATTR_ROWS layout)
+IN_LANES = 128  # input row width: ROWS padded to one lane tile (a [p, 16]
+#                f32 array is physically 128-lane padded anyway, so the
+#                logical pad is free and Mosaic can DMA whole rows)
+IN_ALIGN = 128  # slot-offset floor for the chunk DMA
+
+
+def _segreduce_kernel(r0s_ref, ks_ref,  # scalar prefetch [nb]
+                      estart_ref, ecount_ref,  # [1, W] blocks
+                      rows_hbm,  # [p_in, ROWS] ANY
+                      out_ref,  # [ROWS, W] block
+                      in_buf,  # VMEM (2, C, ROWS)
+                      sems):  # DMA (2,)
+    b = pl.program_id(0)
+    r0 = r0s_ref[b]
+    k = ks_ref[b]
+    es = estart_ref[...].astype(jnp.float32)  # [1, W]
+    ec = ecount_ref[...].astype(jnp.float32)
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(pl.multiple_of(r0 + i * C, IN_ALIGN), C), :],
+            in_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(k > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(i, acc):
+        slot = i % 2
+
+        @pl.when(i + 1 < k)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(slot, i).wait()
+        chunk = in_buf[slot][:, :ROWS]  # [C, ROWS]
+        s = (r0 + i * C
+             + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+             ).astype(jnp.float32)
+        oh = ((es <= s) & (s < es + ec)).astype(jnp.float32)  # [C, W]
+        # Contract the slot (sublane) dim of both operands on the MXU.
+        # HIGHEST is load-bearing: default f32 matmul truncates operands to
+        # bf16; one-hot x f32 under the 3-pass emulation is an exact sum.
+        part = jax.lax.dot_general(
+            chunk, oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [ROWS, W]
+        return acc + part
+
+    acc = jax.lax.fori_loop(0, k, body, jnp.zeros((ROWS, W), jnp.float32))
+    out_ref[...] = acc
+
+
+def segment_reduce_pallas(rows, estart, ecount, end_slot,
+                          interpret: bool = False):
+    """Sum `rows` over monotone contiguous segments.
+
+    rows [p_in, IN_LANES] f32: per-slot gradient rows (first ROWS columns
+      used) in expansion (gid-major) order; p_in must be a multiple of C
+      with >= C slack past `end_slot` (slack rows are read but match no
+      interval).
+    estart/ecount [n_pad] i32: per-gaussian slot interval; estart must be
+      non-decreasing and intervals non-overlapping in order.
+    end_slot: scalar i32, exclusive end of the last possible interval
+      (aligned end of real expansion data).
+
+    Returns [ROWS, n_pad] f32 per-gaussian sums (empty intervals -> 0).
+    """
+    p_in, rows_dim = rows.shape
+    assert rows_dim == IN_LANES and p_in % C == 0
+    n_pad = estart.shape[0]
+    n_w = -(-n_pad // W) * W
+    nb = n_w // W
+    pad = n_w - n_pad
+    # Padding gaussians: empty intervals at the end keeps block_lo monotone.
+    estart_w = jnp.concatenate(
+        [estart.astype(jnp.int32),
+         jnp.broadcast_to(end_slot.astype(jnp.int32), (pad,))]
+    )
+    ecount_w = jnp.pad(ecount.astype(jnp.int32), (0, pad))
+    block_lo = estart_w[::W]  # [nb]
+    block_hi = jnp.concatenate(
+        [block_lo[1:], end_slot.astype(jnp.int32)[None]]
+    )
+    r0s = block_lo // IN_ALIGN * IN_ALIGN
+    ks = jnp.maximum(-(-(block_hi - r0s) // C), 0)
+    # Static bound: reads stay inside [0, p_in) (end_slot <= p_in - C).
+    ks = jnp.minimum(ks, (p_in - r0s) // C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((None, 1, W), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, W), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, W), lambda b, *_: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, C, IN_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _segreduce_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, n_w), jnp.float32)],
+        interpret=interpret,
+    )(r0s.astype(jnp.int32), ks.astype(jnp.int32),
+      estart_w.reshape(nb, 1, W), ecount_w.reshape(nb, 1, W), rows)
+    return out[:, :n_pad]

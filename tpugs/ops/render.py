@@ -57,6 +57,7 @@ def render(
     means2d_probe: Optional[jnp.ndarray] = None,
     compositor: str = "auto",
     presort="auto",
+    need_grads: bool = True,
 ) -> RenderOutput:
     """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
     compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
@@ -76,7 +77,12 @@ def render(
       "fast"          quantized single-u32 presort (12-bit depth bins,
                       bounded same-bin reorder) — measured SLOWER in context
                       than exact at 1M (192 vs 177 ms); kept as an A/B knob.
-      False           the direct (tile, depth) 2-key sort."""
+      False           the direct (tile, depth) 2-key sort.
+    need_grads (static): emit the pair->gaussian reduction metadata that the
+    backward's segment-sum reduction consumes (binning reduce_meta). Costs
+    one sort payload in the forward; forward-only callers (viewer,
+    bench_render) pass False. With False, taking gradients still works — the
+    backward falls back to the XLA scatter-add."""
     if presort == "auto":
         presort = "exact" if means.shape[0] <= (1 << 18) else False
     proj = project_gaussians(
@@ -122,7 +128,7 @@ def render(
         binning = bin_gaussians_expand_kernel(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
-            presorted=bool(presort),
+            presorted=bool(presort), reduce_meta=need_grads,
         )
     else:
         binning = bin_gaussians(
@@ -130,7 +136,20 @@ def render(
             cfg.pair_capacity, presorted=bool(presort),
         )
     binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
-    if compositor == "pallas":
+    if compositor == "pallas" and binning.exp_slot is not None:
+        # Segment-sum backward reduction (ops/pallas/segreduce.py): replaces
+        # the XLA pair->gauss scatter-add — the train step's largest op
+        # (225 ms of a 336 ms garden step, docs/PERF_NOTES.md r3).
+        from tpugs.ops.pallas.composite import composite_tiles_pallas_segred
+
+        b = binning
+
+        def composite_fn(cfg_, ts, tp, pg, m2, cn, rg, op, bgv):
+            return composite_tiles_pallas_segred(
+                cfg_, ts, tp, pg, b.pair_tile, b.exp_slot, b.red_start,
+                b.red_count, b.exp_end, m2, cn, rg, op, bgv,
+            )
+    elif compositor == "pallas":
         from tpugs.ops.pallas.composite import composite_tiles_pallas
 
         composite_fn = composite_tiles_pallas
