@@ -56,6 +56,12 @@ class BinningResult:
     red_start: jnp.ndarray | None = None  # [n_pad] interval start per gauss
     red_count: jnp.ndarray | None = None  # [n_pad] interval length per gauss
     exp_end: jnp.ndarray | None = None  # [] aligned end of real expansion
+    # Compact-sorted compositor attributes (bin_gaussians_expand_kernel with
+    # carry_attrs=True only): [11, P] f32 in pack.pack_compact_attrs row
+    # order (x y ca cb cc op r g b gid valid) — streamed sequentially by the
+    # expand kernel and sorted as free payload, replacing the latency-bound
+    # [P]-row pack gather.
+    attr_c: jnp.ndarray | None = None
 
 
 def tile_rects(proj: ProjectionOutput, img_w: int, img_h: int, tile_w: int,
@@ -374,6 +380,7 @@ def bin_gaussians_expand_kernel(
     interpret: bool = False,
     presorted: bool = False,
     reduce_meta: bool = False,
+    carry_attrs: bool = False,
 ) -> BinningResult:
     """bin_gaussians with the EXPANSION done by the Pallas kernel
     (ops/pallas/expand.py) instead of XLA's scatter + cumsum + [P, 8] row
@@ -396,7 +403,16 @@ def bin_gaussians_expand_kernel(
     an iota payload recording each sorted pair's expansion slot, and the
     per-gaussian expansion intervals are derived elementwise from the chunk
     tables — no extra passes over [P]. Forward-only callers (viewer) leave
-    it off and pay nothing."""
+    it off and pay nothing.
+
+    carry_attrs=True: the expand kernel also emits the 9 compositor
+    attribute rows per pair (streamed SEQUENTIALLY — the expansion is
+    gaussian-major) and the sorts carry them as payload operands (measured
+    free, scripts/bench_sort_payload.py). The result's attr_c field is then
+    the compact-sorted [11, P_out] attribute table (pack.pack_compact_attrs
+    row layout: x y ca cb cc op r g b gid valid), bit-identical to the
+    gathered path's, and the compositor skips its ~17 ms/frame latency-bound
+    [P]-row pack gather (docs/PERF_NOTES.md r3)."""
     from tpugs.ops.pallas import expand as EX
 
     ntx = -(-img_w // tile_w)
@@ -413,15 +429,20 @@ def bin_gaussians_expand_kernel(
 
     n = counts.shape[0]
     f32 = jnp.float32
-    table = jnp.stack(
-        [offsets.astype(f32), counts.astype(f32), tx0.astype(f32),
-         ty0.astype(f32), jnp.maximum(w_tiles, 1).astype(f32),
-         proj.means2d[:, 0], proj.means2d[:, 1], r2_cull, proj.depths,
-         jnp.arange(n, dtype=f32)],
-        axis=0,
-    )  # [10, N]
+    rows = [offsets.astype(f32), counts.astype(f32), tx0.astype(f32),
+            ty0.astype(f32), jnp.maximum(w_tiles, 1).astype(f32),
+            proj.means2d[:, 0], proj.means2d[:, 1], r2_cull, proj.depths,
+            jnp.arange(n, dtype=f32)]
+    if carry_attrs:
+        # Pre-scaled conic + opac + rgb (pack_compact_attrs layout); x/y
+        # reuse the cull's gx/gy rows 5/6.
+        cs = proj.conic * jnp.asarray([-0.5, -1.0, -0.5], f32)
+        rows += [cs[:, 0], cs[:, 1], cs[:, 2], proj.opac,
+                 proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2]]
+    table = jnp.stack(rows, axis=0)  # [10 or 17, N]
+    trows = EX.ROWS_ATTR if carry_attrs else EX.ROWS
     n_pad = -(-n // EX.GC) * EX.GC
-    table = jnp.pad(table, ((0, EX.ROWS - table.shape[0]), (0, n_pad - n)))
+    table = jnp.pad(table, ((0, trows - table.shape[0]), (0, n_pad - n)))
     # Index plumbing only — no gradient flows through binning (booleans and
     # ints downstream); stop_gradient keeps autodiff from tracing the kernel.
     table = jax.lax.stop_gradient(table)
@@ -466,6 +487,18 @@ def bin_gaussians_expand_kernel(
             exp_end=fill_start,
         )
 
+    # Attribute columns ride every sort as payload operands (measured free:
+    # scripts/bench_sort_payload.py).
+    attrs = tuple(out[4 + i] for i in range(9)) if carry_attrs else ()
+    iota = (jnp.arange(p_out, dtype=jnp.int32),) if reduce_meta else ()
+
+    def _attr_c(sorted_attrs, sorted_g, sorted_tile):
+        if not carry_attrs:
+            return {}
+        gid = sorted_g.astype(f32)
+        valid = (sorted_tile < num_tiles).astype(f32)
+        return {"attr_c": jnp.stack([*sorted_attrs, gid, valid], axis=0)}
+
     shift = _packed_key_shift(n, num_tiles) if presorted else None
     if shift is not None:
         # gid IS the depth rank: one packed u32 key. Gap slots pack to the
@@ -473,13 +506,9 @@ def bin_gaussians_expand_kernel(
         key = (out[0].astype(jnp.uint32) << shift) | out[2].astype(
             jnp.uint32
         )
+        skey, *rest = jax.lax.sort((key, *attrs, *iota), num_keys=1)
         if reduce_meta:
-            skey, exp_slot = jax.lax.sort(
-                (key, jnp.arange(p_out, dtype=jnp.int32)), num_keys=1
-            )
-            meta["exp_slot"] = exp_slot
-        else:
-            (skey,) = jax.lax.sort((key,), num_keys=1)
+            meta["exp_slot"] = rest[-1]
         sorted_g = (skey & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
         sorted_tile = jnp.minimum(skey >> shift, num_tiles).astype(jnp.int32)
         bounds = jnp.arange(num_tiles, dtype=jnp.uint32) << shift
@@ -496,23 +525,24 @@ def bin_gaussians_expand_kernel(
             tile_stop=tile_stop,
             num_pairs=total,
             overflow=total > pair_capacity,
+            **_attr_c(rest[:9], sorted_g, sorted_tile),
             **meta,
         )
-    iota = (jnp.arange(p_out, dtype=jnp.int32),) if reduce_meta else ()
     if presorted:
         # Ids don't fit one u32: 2-array (tile, gid) sort — gid order is
         # depth order, same as bin_gaussians' fallback.
         # (tile, gid) pairs are unique, so stability is irrelevant even
-        # with the iota payload.
+        # with payload operands.
         sorted_tile_f, sorted_g_f, *rest = jax.lax.sort(
-            (out[0], out[2], *iota), num_keys=2, is_stable=False
+            (out[0], out[2], *attrs, *iota), num_keys=2, is_stable=False
         )
     else:
         sorted_tile_f, _sd, sorted_g_f, *rest = jax.lax.sort(
-            (out[0], out[1], out[2], *iota), num_keys=2, is_stable=True
+            (out[0], out[1], out[2], *attrs, *iota), num_keys=2,
+            is_stable=True,
         )
     if reduce_meta:
-        meta["exp_slot"] = rest[0]
+        meta["exp_slot"] = rest[-1]
     tids = jnp.arange(num_tiles, dtype=f32)
     tile_start = jnp.searchsorted(sorted_tile_f, tids, side="left").astype(
         jnp.int32
@@ -520,13 +550,16 @@ def bin_gaussians_expand_kernel(
     tile_stop = jnp.searchsorted(sorted_tile_f, tids, side="right").astype(
         jnp.int32
     )
+    sorted_g_i = sorted_g_f.astype(jnp.int32)
+    sorted_tile_i = jnp.minimum(sorted_tile_f, num_tiles).astype(jnp.int32)
     return BinningResult(
-        pair_gauss=sorted_g_f.astype(jnp.int32),
-        pair_tile=jnp.minimum(sorted_tile_f, num_tiles).astype(jnp.int32),
+        pair_gauss=sorted_g_i,
+        pair_tile=sorted_tile_i,
         tile_start=tile_start,
         tile_stop=tile_stop,
         num_pairs=total,
         overflow=total > pair_capacity,
+        **_attr_c(rest[:9], sorted_g_i, sorted_tile_i),
         **meta,
     )
 

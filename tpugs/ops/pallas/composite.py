@@ -664,18 +664,26 @@ def _kernel_impls():
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def composite_tiles_pallas(cfg: RasterConfig, tile_start, tile_stop, pair_gauss,
-                           means2d, conic, rgb, opac, background, row_offset=0):
+                           means2d, conic, rgb, opac, background, row_offset=0,
+                           attr_c=None):
     """Pallas compositor with the same contract as composite_tiles:
     returns (color [T,PIX,3] incl. background blend, final_T, n_contrib).
 
-    row_offset: global tile-row index of tile 0 (tile-sharded path only)."""
+    row_offset: global tile-row index of tile 0 (tile-sharded path only).
+    attr_c: optional pre-sorted compact attribute rows ([11, P] —
+    BinningResult.attr_c from carry_attrs binning); when given, the
+    latency-bound [P]-row pack gather is skipped. Values are bit-identical
+    to the gathered path's, so the output (and the manual VJP, which never
+    differentiates the pack) is unchanged."""
     out, _ = _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss,
-                         means2d, conic, rgb, opac, background, row_offset)
+                         means2d, conic, rgb, opac, background, row_offset,
+                         attr_c)
     return out
 
 
 def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opac,
-                background, row_offset=0):
+                background, row_offset=0, attr_c=None):
+    carried_rows = None if attr_c is None else attr_c.shape[0]
     if ALIGN_KERNEL:
         from tpugs.ops.pallas import pack as _pack
 
@@ -685,11 +693,21 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
         # kernel emits a padded layout, binning.bin_gaussians_expand_kernel);
         # real entries never exceed capacity, so p_aligned is unaffected.
         pc_pad = pair_gauss.shape[0] + _pack.CHUNK + 2 * _pack.LANE_ALIGN
-        attr_c = _pack.pack_compact_attrs(
-            pair_gauss, means2d, conic, rgb, opac, pc_pad
-        )
+        if attr_c is not None:
+            # Attributes already in compact sorted order (expand kernel +
+            # sort payload): pad rows/lanes to the streaming layout — the
+            # only [P]-sized op left on this path is this one copy.
+            attr_cp = jnp.pad(
+                attr_c,
+                ((0, _pack.ATTR_ROWS - attr_c.shape[0]),
+                 (0, pc_pad - attr_c.shape[1])),
+            )
+        else:
+            attr_cp = _pack.pack_compact_attrs(
+                pair_gauss, means2d, conic, rgb, opac, pc_pad
+            )
         attr = _pack.align_copy_pallas(
-            attr_c, tile_start, astart, counts, p_aligned,
+            attr_cp, tile_start, astart, counts, p_aligned,
             interpret=_interpret(),
         )
         # Aligned gauss ids / validity ride the copy as attr rows; gaps are
@@ -710,13 +728,13 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
     )
     color = color + t[..., None] * background[None, None, :]
     res = (astart, astop, aligned_gauss, avalid, attr, t, kl, background,
-           means2d.shape[0], row_offset, pair_gauss.shape[0])
+           means2d.shape[0], row_offset, pair_gauss.shape[0], carried_rows)
     return (color, t, nc), res
 
 
 def _pallas_bwd(cfg, res, cot):
     (astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n,
-     row_offset, n_pairs) = res
+     row_offset, n_pairs, carried_rows) = res
     d_color, d_finalT, _d_nc = cot
 
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
@@ -753,6 +771,11 @@ def _pallas_bwd(cfg, res, cot):
         d_opac,
         d_bg,
         np.zeros(np.shape(row_offset), jax.dtypes.float0),  # row_offset
+        # attr_c carries no gradient: it is built from stop_gradient'd
+        # binning plumbing; the real gradient path is the manual reduction
+        # to means2d/conic/rgb/opac above.
+        None if carried_rows is None
+        else jnp.zeros((carried_rows, n_pairs), jnp.float32),
     )
 
 
@@ -851,25 +874,27 @@ composite_tiles_pallas_pre.defvjp(_pallas_pre_fwd, _pallas_pre_bwd)
 def composite_tiles_pallas_segred(cfg: RasterConfig, tile_start, tile_stop,
                                   pair_gauss, pair_tile, exp_slot, red_start,
                                   red_count, exp_end, means2d, conic, rgb,
-                                  opac, background, row_offset=0):
+                                  opac, background, row_offset=0,
+                                  attr_c=None):
     """composite_tiles_pallas with a segment-sum backward reduction.
 
     pair_tile/exp_slot/red_start/red_count/exp_end are the BinningResult
     reduction-metadata fields (reduce_meta=True); tile_stop must be the
     CLAMPED stops (clamp_tile_segments), so dropped front-K entries are
     excluded from both the forward and the gradient — identical semantics
-    to the scatter path's avalid masking."""
+    to the scatter path's avalid masking. attr_c: optional carried sorted
+    attributes (see composite_tiles_pallas)."""
     out, _ = _segred_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_tile,
                          exp_slot, red_start, red_count, exp_end, means2d,
-                         conic, rgb, opac, background, row_offset)
+                         conic, rgb, opac, background, row_offset, attr_c)
     return out
 
 
 def _segred_fwd(cfg, tile_start, tile_stop, pair_gauss, pair_tile, exp_slot,
                 red_start, red_count, exp_end, means2d, conic, rgb, opac,
-                background, row_offset=0):
+                background, row_offset=0, attr_c=None):
     out, inner = _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d,
-                             conic, rgb, opac, background, row_offset)
+                             conic, rgb, opac, background, row_offset, attr_c)
     return out, (inner, tile_start, tile_stop, pair_tile, exp_slot,
                  red_start, red_count, exp_end)
 
@@ -880,7 +905,7 @@ def _segred_bwd(cfg, res, cot):
     (inner, tile_start, tile_stop, pair_tile, exp_slot, red_start, red_count,
      exp_end) = res
     (astart, _astop, _aligned_gauss, _avalid, attr, final_t, kl, background,
-     n, row_offset, n_pairs) = inner
+     n, row_offset, n_pairs, carried_rows) = inner
     d_color, d_finalT, _d_nc = cot
 
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
@@ -949,6 +974,8 @@ def _segred_bwd(cfg, res, cot):
         d_opac,
         d_bg,
         f0(row_offset),
+        None if carried_rows is None
+        else jnp.zeros((carried_rows, n_pairs), jnp.float32),  # attr_c
     )
 
 

@@ -32,6 +32,19 @@ All values < 2^24, exact in f32. Downstream casts + the same 2-key
 (tile, depth, g) sort reproduce bin_gaussians' non-presorted path
 bit-for-bit (tests/test_expand_pallas.py).
 
+carry_attrs=True additionally emits the 9 compositor attribute rows per
+pair (x y ca cb cc op r g b — the pack.pack_compact_attrs layout) as output
+rows 4..12 ([16, P_out] total): the expansion is gaussian-major, so the
+attributes stream out SEQUENTIALLY here (rows of the same one-hot MXU
+product that already resolves slot ownership) instead of being randomly
+gathered per sorted pair afterwards. The [P]-sized pair sort then carries
+them as payload operands — measured FREE on TPU (scripts/
+bench_sort_payload.py: 3-array 12.5 ms vs 12-array 12.1 ms at P=2.4M)
+— which deletes the ~17 ms latency-bound pack row-gather from the 1080p/1M
+viewer frame (scripts/trace_report.py). Attribute values are exact: the
+one-hot matmul runs at precision=HIGHEST, so they are bit-identical to the
+gathered path's.
+
 Reference analogue: k_fill_sort_pairs, one thread per (gaussian, tile)
 (/root/reference/src/rasterizer/sorting.cu:30-72).
 """
@@ -48,6 +61,9 @@ GC = 256  # gaussians per chunk (grid axis)
 OB = 512  # output slots per compute/DMA block
 PAD_ALIGN = 128  # per-chunk output padding granularity (DMA alignment)
 ROWS = 16  # table rows: off cnt tx0 ty0 w gx gy r2 depth gid (pad to 16)
+ROWS_ATTR = 24  # carry_attrs table: ROWS layout + ca cb cc op r g b (pad 24)
+OUT_ROWS = 4  # output rows: tile depth gid valid
+OUT_ROWS_ATTR = 16  # + x y ca cb cc op r g b (pad to 16)
 FILL_BIG = 4096  # tail-fill ladder block sizes (static DMA widths)
 
 
@@ -60,12 +76,12 @@ def expand_capacity(pair_capacity: int, n: int) -> int:
 
 
 def _expand_kernel(num_tiles: int, ntx: int, tile_w: int, tile_h: int,
-                   p_out: int,
+                   p_out: int, orows: int,
                    coffs_ref, abase_ref, fill_ref,  # scalar prefetch
-                   table_ref,  # (ROWS, GC) VMEM block
-                   out_hbm,  # [4, p_out] ANY
-                   out_buf,  # VMEM (2, 4, OB)
-                   fill_buf,  # VMEM (4, FILL_BIG)
+                   table_ref,  # (trows, GC) VMEM block
+                   out_hbm,  # [orows, p_out] ANY
+                   out_buf,  # VMEM (2, orows, OB)
+                   fill_buf,  # VMEM (orows, FILL_BIG)
                    sems):  # DMA (2,)
     c = pl.program_id(0)
     nc_real = pl.num_programs(0) - 1
@@ -144,6 +160,16 @@ def _expand_kernel(num_tiles: int, ntx: int, tile_w: int, tile_h: int,
             out_buf[slot, 1:2, :] = depth
             out_buf[slot, 2:3, :] = g[9:10, :]
             out_buf[slot, 3:4, :] = valid.astype(jnp.float32)
+            if orows > OUT_ROWS:
+                # Attribute rows in pack_compact_attrs order (x y ca cb cc
+                # op r g b): x/y reuse the cull's gx/gy table rows, the rest
+                # sit at table rows 10..16. Sentinel slots carry garbage
+                # attrs — harmless, they sort outside every tile segment.
+                out_buf[slot, 4:6, :] = g[5:7, :]
+                out_buf[slot, 6:13, :] = g[10:17, :]
+                out_buf[slot, 13:orows, :] = jnp.zeros(
+                    (orows - 13, OB), jnp.float32
+                )
             dma(slot, b).start()
             return carry
 
@@ -164,8 +190,7 @@ def _expand_kernel(num_tiles: int, ntx: int, tile_w: int, tile_h: int,
 
         fill_buf[0:1, :] = jnp.full((1, FILL_BIG), float(num_tiles))
         fill_buf[1:2, :] = jnp.full((1, FILL_BIG), jnp.inf)
-        fill_buf[2:3, :] = jnp.zeros((1, FILL_BIG))
-        fill_buf[3:4, :] = jnp.zeros((1, FILL_BIG))
+        fill_buf[2:orows, :] = jnp.zeros((orows - 2, FILL_BIG))
 
         def ladder(width, off, count):
             def step(i, carry):
@@ -202,33 +227,35 @@ def _expand_kernel(num_tiles: int, ntx: int, tile_w: int, tile_h: int,
 def expand_pairs_pallas(table, coffs, abase, fill_start, num_tiles: int,
                         ntx: int, tile_w: int, tile_h: int, p_out: int,
                         interpret: bool = False):
-    """Run the expansion. table [ROWS, N_pad] f32 (N_pad multiple of GC);
+    """Run the expansion. table [ROWS or ROWS_ATTR, N_pad] f32 (N_pad
+    multiple of GC; ROWS_ATTR selects the carry_attrs output layout);
     coffs [nc+1] i32 chunk pair-offsets (CLAMPED to pair capacity by the
     caller); abase [nc] i32 PAD_ALIGN-aligned output bases; fill_start [1]
     i32 = abase[-1] + padded last span (<= p_out - OB by expand_capacity).
-    Returns [4, p_out] f32 (see module doc)."""
-    n_pad = table.shape[1]
+    Returns [OUT_ROWS or OUT_ROWS_ATTR, p_out] f32 (see module doc)."""
+    trows, n_pad = table.shape
+    orows = OUT_ROWS_ATTR if trows == ROWS_ATTR else OUT_ROWS
     nc = n_pad // GC
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nc + 1,),
         in_specs=[
-            pl.BlockSpec((ROWS, GC),
+            pl.BlockSpec((trows, GC),
                          lambda c, *_: (0, jnp.minimum(c, nc - 1)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, OB), jnp.float32),
-            pltpu.VMEM((4, FILL_BIG), jnp.float32),
+            pltpu.VMEM((2, orows, OB), jnp.float32),
+            pltpu.VMEM((orows, FILL_BIG), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (out,) = pl.pallas_call(
         functools.partial(_expand_kernel, num_tiles, ntx, tile_w, tile_h,
-                          p_out),
+                          p_out, orows),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((4, p_out), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((orows, p_out), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(coffs.astype(jnp.int32), abase.astype(jnp.int32),

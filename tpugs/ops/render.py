@@ -125,10 +125,17 @@ def render(
         from tpugs.ops.binning import bin_gaussians_expand_kernel
         from tpugs.ops.pallas.composite import _interpret
 
+        # carry_attrs: the expand kernel streams the 9 compositor attribute
+        # rows sequentially (the expansion is gaussian-major) and the pair
+        # sort carries them as free payload (scripts/bench_sort_payload.py),
+        # replacing the latency-bound [P]-row pack gather (~17 ms of the
+        # 1080p/1M viewer frame). Bit-identical attributes (one-hot matmul
+        # at precision=HIGHEST), so images and gradients are unchanged.
         binning = bin_gaussians_expand_kernel(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
             presorted=bool(presort), reduce_meta=need_grads,
+            carry_attrs=True,
         )
     else:
         binning = bin_gaussians(
@@ -148,11 +155,17 @@ def render(
             return composite_tiles_pallas_segred(
                 cfg_, ts, tp, pg, b.pair_tile, b.exp_slot, b.red_start,
                 b.red_count, b.exp_end, m2, cn, rg, op, bgv,
+                attr_c=b.attr_c,
             )
     elif compositor == "pallas":
         from tpugs.ops.pallas.composite import composite_tiles_pallas
 
-        composite_fn = composite_tiles_pallas
+        b = binning
+
+        def composite_fn(cfg_, ts, tp, pg, m2, cn, rg, op, bgv):
+            return composite_tiles_pallas(
+                cfg_, ts, tp, pg, m2, cn, rg, op, bgv, attr_c=b.attr_c,
+            )
     else:
         composite_fn = composite_tiles
     color_t, t_t, nc_t = composite_fn(
