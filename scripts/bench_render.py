@@ -38,7 +38,7 @@ def frame(c, it):
     z, p = c
     out = render(p["means"] + z, p["quats"], p["log_scales"],
                  p["opacity_logits"], p["sh"], alive, viewmat, intr,
-                 cfg, 3, bg)
+                 cfg, 3, bg, need_grads=False)
     return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
 
@@ -49,7 +49,7 @@ print(f"1080p 1M-gaussian forward render: {ms:.2f} ms/frame = {1e3/ms:.1f} FPS",
 # Honesty check: the tuned capacity must cover this scene exactly.
 out = jax.jit(lambda p: render(p["means"], p["quats"], p["log_scales"],
                                p["opacity_logits"], p["sh"], alive, viewmat,
-                               intr, cfg, 3, bg))(params)
+                               intr, cfg, 3, bg, need_grads=False))(params)
 assert not bool(out.pair_overflow), f"pair overflow ({int(out.num_pairs)})"
 assert not bool(out.hit_overflow), (
     f"hit overflow ({int(out.max_tile_hits)} in busiest tile)")

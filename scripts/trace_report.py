@@ -40,7 +40,8 @@ def frame(c, it):
     z, p = c
     out = render(p["means"] + z, p["quats"], p["log_scales"],
                  p["opacity_logits"], p["sh"], alive, viewmat, intr,
-                 cfg, 3, bg)
+                 cfg, 3, bg, need_grads=False,
+                 carry_attrs=os.environ.get("CARRY_ATTRS", "1") == "1")
     return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
 

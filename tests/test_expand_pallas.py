@@ -243,3 +243,180 @@ class TestExpandKernelPresorted:
             np.asarray(a.color), np.asarray(b.color), rtol=2e-6, atol=2e-6
         )
         assert int(a.num_pairs) == int(b.num_pairs)
+
+
+class TestExpandKernelSlice:
+    """Slice mode (num_tile_rows > 0, tile_row_lo possibly traced): the
+    tile-sharded distribution path. Segments must be bit-identical to
+    bin_gaussians' slice path, with LOCAL tile ids."""
+
+    @pytest.mark.parametrize("presorted", [False, True])
+    @pytest.mark.parametrize("row_lo,rows", [(0, 2), (1, 2), (2, 2), (3, 1)])
+    def test_slice_segments_bit_identical(self, presorted, row_lo, rows):
+        from tpugs.ops.binning import presort_by_depth
+
+        proj = _proj(seed=10)
+        if presorted:
+            _, proj = presort_by_depth(proj)
+        b_ref = bin_gaussians(
+            proj, W, H, TILE, TILE, CAP, presorted=presorted,
+            tile_row_lo=row_lo, num_tile_rows=rows,
+        )
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True,
+            presorted=presorted, tile_row_lo=row_lo, num_tile_rows=rows,
+        )
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_slice_traced_row_lo(self):
+        proj = _proj(seed=12)
+        b_ref = bin_gaussians(
+            proj, W, H, TILE, TILE, CAP, tile_row_lo=2, num_tile_rows=2
+        )
+
+        @jax.jit
+        def run(lo):
+            return bin_gaussians_expand_kernel(
+                proj, W, H, TILE, TILE, CAP, interpret=True,
+                tile_row_lo=lo, num_tile_rows=2,
+            )
+
+        b_new = run(jnp.asarray(2, jnp.int32))
+        _assert_segments_equal(b_ref, b_new)
+
+    def test_slice_carry_attrs(self):
+        from tpugs.ops.pallas import pack
+
+        proj = _proj(seed=13)
+        b = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True, carry_attrs=True,
+            tile_row_lo=1, num_tile_rows=2,
+        )
+        p_out = b.pair_gauss.shape[0]
+        expected = pack.pack_compact_attrs(
+            b.pair_gauss, proj.means2d, proj.conic, proj.rgb, proj.opac,
+            p_out + pack.CHUNK + pack.LANE_ALIGN,
+        )[:11, :p_out]
+        ts, te = np.asarray(b.tile_start), np.asarray(b.tile_stop)
+        got, exp = np.asarray(b.attr_c), np.asarray(expected)
+        for t in range(ts.shape[0]):
+            np.testing.assert_array_equal(
+                got[:, ts[t]:te[t]], exp[:, ts[t]:te[t]], err_msg=f"tile {t}"
+            )
+
+
+class TestCarryAttrs:
+    """carry_attrs=True: the expand kernel's streamed attribute rows, after
+    riding the pair sort as payload, must be BIT-IDENTICAL within every tile
+    segment to pack.pack_compact_attrs gathered from the same pair_gauss
+    (the contract three docstrings claim — pinned directly here, not just
+    via render parity at rtol 2e-6)."""
+
+    @pytest.mark.parametrize("presorted", [False, True])
+    def test_attr_c_bit_identical_to_pack(self, presorted):
+        from tpugs.ops.binning import presort_by_depth
+        from tpugs.ops.pallas import pack
+
+        proj = _proj(seed=8)
+        if presorted:
+            _, proj = presort_by_depth(proj)
+        b = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True,
+            presorted=presorted, carry_attrs=True,
+        )
+        assert b.attr_c is not None and b.attr_c.shape[0] == 11
+        p_out = b.pair_gauss.shape[0]
+        expected = pack.pack_compact_attrs(
+            b.pair_gauss, proj.means2d, proj.conic, proj.rgb, proj.opac,
+            p_out + pack.CHUNK + pack.LANE_ALIGN,
+        )[:11, :p_out]
+        got = np.asarray(b.attr_c)
+        exp = np.asarray(expected)
+        ts, te = np.asarray(b.tile_start), np.asarray(b.tile_stop)
+        for t in range(ts.shape[0]):
+            np.testing.assert_array_equal(
+                got[:, ts[t]:te[t]], exp[:, ts[t]:te[t]], err_msg=f"tile {t}"
+            )
+        # Validity row: exactly the real (non-sentinel) slots.
+        num_tiles = -(-W // TILE) * -(-H // TILE)
+        np.testing.assert_array_equal(
+            got[10] > 0.5, np.asarray(b.pair_tile) < num_tiles
+        )
+
+
+class TestNeedGradsWiring:
+    """render(need_grads=False) must emit NO reduction metadata, and the
+    forward-only callers must actually pass it (ops/render.py:81-85 was a
+    documented-but-unwired contract in round 3)."""
+
+    def test_reduce_meta_off(self):
+        proj = _proj(seed=9)
+        b = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True, reduce_meta=False
+        )
+        assert b.exp_slot is None and b.red_start is None
+        b2 = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True, reduce_meta=True
+        )
+        assert b2.exp_slot is not None and b2.red_start is not None
+
+    def test_render_forwards_need_grads(self, monkeypatch):
+        import tpugs.ops.binning as binning_mod
+
+        seen = {}
+        orig = binning_mod.bin_gaussians_expand_kernel
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(binning_mod, "bin_gaussians_expand_kernel", spy)
+        rng = np.random.default_rng(3)
+        n = 50
+        means = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        cfg = RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                           pair_capacity=CAP, max_hits_per_tile=256)
+        out = render(
+            jnp.asarray(means),
+            jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+            jnp.full((n, 3), -2.5, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n, 3, 1), jnp.float32),
+            jnp.ones(n, bool), jnp.eye(4),
+            jnp.asarray([60.0, 60.0, 48.0, 32.0]), cfg, 0, jnp.zeros(3),
+            compositor="pallas", presort=False, need_grads=False,
+        )
+        assert seen.get("reduce_meta") is False
+        assert out.color.shape == (H, W, 3)
+
+    def test_offline_renderer_is_forward_only(self, monkeypatch):
+        import tpugs.viewer.offline as offline_mod
+        from tpugs.ops.render import render as real_render
+        from tpugs.viewer.offline import OfflineRenderer
+
+        seen = {}
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return real_render(*a, **kw)
+
+        monkeypatch.setattr(offline_mod, "render", spy)
+        rng = np.random.default_rng(5)
+        n = 40
+        means = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        params = dict(
+            means=means,
+            quats=rng.normal(0, 1, (n, 4)).astype(np.float32),
+            log_scales=np.full((n, 3), -2.5, np.float32),
+            opacity_logits=np.zeros((n,), np.float32),
+            sh=np.zeros((n, 3, 1), np.float32),
+        )
+        r = OfflineRenderer(params, tile=16, pair_capacity=4096, max_hits=256)
+        color, _, _ = r.render_arrays(
+            32, 48, jnp.eye(4), jnp.asarray([60.0, 60.0, 24.0, 16.0]),
+            jnp.zeros(3),
+        )
+        assert seen.get("need_grads") is False
+        assert color.shape == (32, 48, 3)

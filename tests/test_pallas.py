@@ -251,3 +251,35 @@ class TestAlignKernelAB:
         np.testing.assert_allclose(
             np.asarray(op.color), np.asarray(os_.color), atol=1e-5
         )
+
+
+class TestLaneGeometry:
+    """The lane-wave kernel geometry (pixels on sublanes, 128-entry lane
+    waves — the round-1/2 kernels) is kept for A/B via
+    TPUGS_KERNEL_GEOMETRY=lane; this pins its forward + gradient parity so
+    the alternate path cannot rot untested (VERDICT r3)."""
+
+    def test_lane_forward_and_grads_match_scan(self, monkeypatch):
+        from tpugs.ops.pallas import composite as comp
+
+        monkeypatch.setattr(comp, "KERNEL_GEOMETRY", "lane")
+        params = make_params(60, seed=12)
+        op = run(params, "pallas", cfg=CFG32)
+        os_ = run(params, "scan", cfg=CFG32)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.n_contrib), np.asarray(os_.n_contrib)
+        )
+
+        def loss(p, c):
+            out = run(p, c, cfg=CFG32)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.final_T)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)

@@ -105,6 +105,51 @@ class TestTrainerEndToEnd:
         model = read_gaussian_ply(plys[0])
         assert model["means"].shape[0] == 60
 
+    def test_evaluate_overflow_honest(self, tmp_path):
+        """VERDICT r4 item: a test view exceeding the eval capacities must
+        grow (re-jit) or warn — never a silently truncated PSNR. Growth is
+        eval-only (self.raster, shared with the train step, is untouched)."""
+        import dataclasses
+
+        root = str(tmp_path / "scene")
+        make_scene(root, num_images=10, width=64, height=48, num_points=60)
+        cfg = TrainConfig(
+            iterations=0, capacity=128, sh_degree=1, log_every=0,
+            save_every=0, densify_mode="none", pair_capacity=1 << 14,
+            max_hits_per_tile=128, output_dir=str(tmp_path / "out"),
+        )
+        logs = []
+        tr = Trainer(root, cfg, log_fn=logs.append)
+        res_ok = tr.evaluate()
+
+        # Shrink the raster capacities far below the scene's pair count and
+        # force a fresh eval config: the first view must overflow.
+        train_raster = dataclasses.replace(
+            tr.raster, pair_capacity=128, max_hits_per_tile=8
+        )
+        tr.raster = train_raster
+        tr._eval_raster = None
+        tr._eval_render_key = None
+        logs.clear()
+        res_grown = tr.evaluate()
+        assert any("OVERFLOW" in m and "growing eval" in m for m in logs)
+        assert tr._eval_raster.pair_capacity > 128
+        # Eval growth never touches the training raster config.
+        assert tr.raster == train_raster
+        # Grown eval reproduces the ample-capacity PSNR (bit-identical pairs
+        # once nothing is truncated).
+        assert abs(res_grown.mean_psnr - res_ok.mean_psnr) < 1e-4
+
+        # "warn" policy: loud, no growth, truncated result allowed.
+        tr.cfg = dataclasses.replace(tr.cfg, on_overflow="warn")
+        tr._eval_raster = None
+        tr._eval_render_key = None
+        logs.clear()
+        tr.evaluate()
+        assert any("OVERFLOW" in m and "capacities unchanged" in m
+                   for m in logs)
+        assert tr._eval_raster.pair_capacity == 128
+
     def test_trainer_adc_mode(self, tmp_path):
         root = str(tmp_path / "scene")
         make_scene(root, num_images=10, width=64, height=48, num_points=40)

@@ -381,6 +381,8 @@ def bin_gaussians_expand_kernel(
     presorted: bool = False,
     reduce_meta: bool = False,
     carry_attrs: bool = False,
+    tile_row_lo=0,
+    num_tile_rows: int = 0,
 ) -> BinningResult:
     """bin_gaussians with the EXPANSION done by the Pallas kernel
     (ops/pallas/expand.py) instead of XLA's scatter + cumsum + [P, 8] row
@@ -412,17 +414,34 @@ def bin_gaussians_expand_kernel(
     the compact-sorted [11, P_out] attribute table (pack.pack_compact_attrs
     row layout: x y ca cb cc op r g b gid valid), bit-identical to the
     gathered path's, and the compositor skips its ~17 ms/frame latency-bound
-    [P]-row pack gather (docs/PERF_NOTES.md r3)."""
+    [P]-row pack gather (docs/PERF_NOTES.md r3).
+
+    num_tile_rows > 0 (static; tile_row_lo may be traced): bin only the tile
+    rows [tile_row_lo, tile_row_lo + num_tile_rows) with LOCAL tile ids —
+    the tile-sharded distribution path (parallel/tile_shard.py), same
+    contract as bin_gaussians. The kernel itself is slice-agnostic: it emits
+    GLOBAL tile ids from the row-clipped rects (the corner cull stays in
+    global pixel coords, bit-identical to the XLA slice path) and one
+    elementwise [P_out] pass localizes them before the sort."""
     from tpugs.ops.pallas import expand as EX
 
     ntx = -(-img_w // tile_w)
     nty = -(-img_h // tile_h)
-    num_tiles = ntx * nty
+    sliced = num_tile_rows > 0
+    # Kernel sentinel: first tile id past any valid GLOBAL tile (rects are
+    # clipped to nty rows, so ntx*nty is static and safe in slice mode too).
+    kernel_num_tiles = ntx * nty
+    num_tiles = ntx * num_tile_rows if sliced else kernel_num_tiles
+    tile_row_lo = jnp.asarray(tile_row_lo, jnp.int32)
 
     r2_cull = cull_radius_sq(proj)
     tx0, ty0, w_tiles, h_tiles = tile_rects(
         proj, img_w, img_h, tile_w, tile_h, r2_cull
     )
+    if sliced:
+        ty1 = jnp.minimum(ty0 + h_tiles, tile_row_lo + num_tile_rows)
+        ty0 = jnp.maximum(ty0, tile_row_lo)
+        h_tiles = jnp.maximum(ty1 - ty0, 0)
     counts = w_tiles * h_tiles
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
@@ -461,9 +480,19 @@ def bin_gaussians_expand_kernel(
 
     p_out = EX.expand_capacity(pair_capacity, n_pad)
     out = EX.expand_pairs_pallas(
-        table, coffs, abase, fill_start[None], num_tiles, ntx,
+        table, coffs, abase, fill_start[None], kernel_num_tiles, ntx,
         tile_w, tile_h, p_out, interpret=interpret,
     )
+    tile_f = out[0]
+    if sliced:
+        # Localize tile ids: valid slots carry global ids in
+        # [tile_row_lo*ntx, ...); sentinel/culled slots map to the LOCAL
+        # sentinel. Integer-valued f32 arithmetic, exact (< 2^24).
+        tile_f = jnp.where(
+            out[3] > 0.0,
+            tile_f - (tile_row_lo * ntx).astype(jnp.float32),
+            jnp.float32(num_tiles),
+        )
 
     meta = {}
     if reduce_meta:
@@ -503,7 +532,7 @@ def bin_gaussians_expand_kernel(
     if shift is not None:
         # gid IS the depth rank: one packed u32 key. Gap slots pack to the
         # sentinel (tile num_tiles, gid 0).
-        key = (out[0].astype(jnp.uint32) << shift) | out[2].astype(
+        key = (tile_f.astype(jnp.uint32) << shift) | out[2].astype(
             jnp.uint32
         )
         skey, *rest = jax.lax.sort((key, *attrs, *iota), num_keys=1)
@@ -534,11 +563,11 @@ def bin_gaussians_expand_kernel(
         # (tile, gid) pairs are unique, so stability is irrelevant even
         # with payload operands.
         sorted_tile_f, sorted_g_f, *rest = jax.lax.sort(
-            (out[0], out[2], *attrs, *iota), num_keys=2, is_stable=False
+            (tile_f, out[2], *attrs, *iota), num_keys=2, is_stable=False
         )
     else:
         sorted_tile_f, _sd, sorted_g_f, *rest = jax.lax.sort(
-            (out[0], out[1], out[2], *attrs, *iota), num_keys=2,
+            (tile_f, out[1], out[2], *attrs, *iota), num_keys=2,
             is_stable=True,
         )
     if reduce_meta:

@@ -58,6 +58,7 @@ def render(
     compositor: str = "auto",
     presort="auto",
     need_grads: bool = True,
+    carry_attrs: bool = True,
 ) -> RenderOutput:
     """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
     compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
@@ -82,7 +83,12 @@ def render(
     backward's segment-sum reduction consumes (binning reduce_meta). Costs
     one sort payload in the forward; forward-only callers (viewer,
     bench_render) pass False. With False, taking gradients still works — the
-    backward falls back to the XLA scatter-add."""
+    backward falls back to the XLA scatter-add.
+    carry_attrs (static, pallas path only): stream the 9 compositor attribute
+    rows from the expand kernel and sort them as payload, replacing the
+    [P]-row pack gather. Only the align-copy kernel consumes the carried
+    rows, so this is forced off when TPUGS_ALIGN_KERNEL=0 (the XLA align A/B
+    would otherwise pay for attributes it ignores)."""
     if presort == "auto":
         presort = "exact" if means.shape[0] <= (1 << 18) else False
     proj = project_gaussians(
@@ -123,7 +129,7 @@ def render(
         # sequential chunk writes + one-hot MXU ownership. Same sorted
         # segments bit-for-bit (tests/test_expand_pallas.py).
         from tpugs.ops.binning import bin_gaussians_expand_kernel
-        from tpugs.ops.pallas.composite import _interpret
+        from tpugs.ops.pallas.composite import ALIGN_KERNEL, _interpret
 
         # carry_attrs: the expand kernel streams the 9 compositor attribute
         # rows sequentially (the expansion is gaussian-major) and the pair
@@ -135,7 +141,7 @@ def render(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
             presorted=bool(presort), reduce_meta=need_grads,
-            carry_attrs=True,
+            carry_attrs=carry_attrs and ALIGN_KERNEL,
         )
     else:
         binning = bin_gaussians(

@@ -64,17 +64,21 @@ class EvalResults:
             json.dump(self.to_json(), f, indent=2)
 
 
-def evaluate_views(render_fn, views, num_gaussians: int = 0) -> EvalResults:
+def evaluate_views(render_fn, views, num_gaussians: int = 0,
+                   render_named=None) -> EvalResults:
     """Render each (name, target_image, view_args) and collect PSNR/SSIM.
 
     render_fn(view_args) -> [H, W, 3]. Mirrors the eval loop of
-    reference metrics.cpp:93-163.
+    reference metrics.cpp:93-163. render_named(name, view_args), when given,
+    takes precedence — callers that per-view check overflow flags use the
+    name in their log messages (Trainer.evaluate).
     """
     results = EvalResults(num_gaussians=num_gaussians)
     t0 = time.perf_counter()
     for name, target, view_args in views:
         ti = time.perf_counter()
-        img = render_fn(view_args)
+        img = (render_named(name, view_args) if render_named is not None
+               else render_fn(view_args))
         img = jnp.clip(img, 0.0, 1.0)
         img.block_until_ready()
         render_ms = (time.perf_counter() - ti) * 1e3

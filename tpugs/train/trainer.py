@@ -855,34 +855,110 @@ class Trainer:
             k -= 1
         return max(k, 1)
 
+    def _eval_raster_config(self):
+        """Eval-only raster config: starts at the training config and grows
+        independently (growing it never re-jits the train step), but always
+        covers at least the training capacities (elementwise max — training
+        growth is folded in)."""
+        er = getattr(self, "_eval_raster", None)
+        if er is None:
+            er = self.raster
+        else:
+            er = dataclasses.replace(
+                er,
+                pair_capacity=max(er.pair_capacity, self.raster.pair_capacity),
+                max_hits_per_tile=max(
+                    er.max_hits_per_tile, self.raster.max_hits_per_tile
+                ),
+            )
+        self._eval_raster = er
+        return er
+
+    def _handle_eval_overflow(self, name, num_pairs, pair_of, tile_hits,
+                              hit_of) -> bool:
+        """Overflow policy for a test view (same honesty contract as the
+        train step's _handle_overflow and OfflineRenderer._handle_overflow:
+        a post-growth test view must never silently depress PSNR —
+        truncation drops back-most pairs, reference exactness contract
+        src/rasterizer/sorting.cu:145-160). Returns True if capacities grew
+        (caller re-renders)."""
+        er = self._eval_raster
+        msg = (
+            f"eval view {name} OVERFLOW: pairs {num_pairs}"
+            f"/{er.pair_capacity}, busiest tile {tile_hits}"
+            f"/{er.max_hits_per_tile} (back-most pairs dropped)"
+        )
+        if self.cfg.on_overflow == "error":
+            raise RuntimeError(msg)
+        new_pairs, new_hits = er.pair_capacity, er.max_hits_per_tile
+        if self.cfg.on_overflow == "grow":
+            if pair_of:
+                new_pairs = max(new_pairs, -(-int(1.3 * num_pairs) // 512) * 512)
+            if hit_of:
+                new_hits = max(new_hits, -(-int(1.2 * tile_hits) // 128) * 128)
+        if (new_pairs, new_hits) == (er.pair_capacity, er.max_hits_per_tile):
+            self.log(msg + " — capacities unchanged (policy "
+                     f"{self.cfg.on_overflow!r})")
+            return False
+        self.log(msg + f" -> growing eval pair_capacity {er.pair_capacity}->"
+                 f"{new_pairs}, max_hits {er.max_hits_per_tile}->{new_hits}"
+                 " (re-jit, eval only)")
+        self._eval_raster = dataclasses.replace(
+            er, pair_capacity=new_pairs, max_hits_per_tile=new_hits
+        )
+        return True
+
     def evaluate(self, sh_degree: Optional[int] = None):
         """PSNR/SSIM over the dataset's test views with the current model
         (reference: evaluate(), metrics.cpp:93-163).
 
         The jitted renderer takes params as arguments (cached per raster
         config + SH degree across evaluate() calls — closing over params
-        would re-trace on every eval event)."""
+        would re-trace on every eval event). Overflow-honest: every view's
+        pair/hit overflow flags are checked, and an overflowing view grows
+        the eval capacities and re-renders (or warns loudly) — never a
+        silently truncated PSNR."""
         from tpugs.train.metrics import evaluate_views
 
         deg = self.cfg.sh_degree if sh_degree is None else sh_degree
-        cache_key = (self.raster, deg)
-        if getattr(self, "_eval_render_key", None) != cache_key:
-            raster = self.raster
 
-            @jax.jit
-            def render_view(params, alive, viewmat, intr):
-                out = render(
-                    params["means"], params["quats"], params["log_scales"],
-                    params["opacity_logits"], params["sh"], alive,
-                    viewmat, intr, raster, deg, jnp.zeros((3,)),
-                )
-                return out.color
+        def get_render():
+            raster = self._eval_raster_config()
+            cache_key = (raster, deg)
+            if getattr(self, "_eval_render_key", None) != cache_key:
 
-            self._eval_render = render_view
-            self._eval_render_key = cache_key
+                @jax.jit
+                def render_view(params, alive, viewmat, intr):
+                    out = render(
+                        params["means"], params["quats"], params["log_scales"],
+                        params["opacity_logits"], params["sh"], alive,
+                        viewmat, intr, raster, deg, jnp.zeros((3,)),
+                    )
+                    return (out.color, out.num_pairs, out.pair_overflow,
+                            out.max_tile_hits, out.hit_overflow)
+
+                self._eval_render = render_view
+                self._eval_render_key = cache_key
+            return self._eval_render
 
         p = self.state.params
         alive = self.state.alive
+
+        def render_checked(name, args):
+            for _ in range(8):  # growth converges: capacities only increase
+                fn = get_render()
+                color, num_pairs, pair_of, tile_hits, hit_of = fn(
+                    p, alive, *args
+                )
+                if not (bool(pair_of) or bool(hit_of)):
+                    break
+                if not self._handle_eval_overflow(
+                    name, int(num_pairs), bool(pair_of), int(tile_hits),
+                    bool(hit_of),
+                ):
+                    break
+            return color
+
         views = []
         for i, cam in enumerate(self.dataset.test_cameras):
             target = self.dataset.load_test_image(i)
@@ -892,8 +968,9 @@ class Trainer:
                  jnp.asarray(cam.intrinsics_array())),
             ))
         return evaluate_views(
-            lambda a: self._eval_render(p, alive, *a), views,
+            None, views,
             num_gaussians=int(jnp.sum(alive)),
+            render_named=render_checked,
         )
 
     def gaussian_state(self) -> GaussianState:

@@ -94,10 +94,13 @@ class OfflineRenderer:
 
             @jax.jit
             def fn(viewmat, intr, bg):
+                # Forward-only: skip the reduce metadata (iota sort payload +
+                # interval math) that only the backward's segment-sum
+                # reduction consumes (ops.render need_grads contract).
                 out = render(
                     p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
                     p["sh"], alive, viewmat, intr, cfg, sh_degree, bg,
-                    presort=self.presort,
+                    presort=self.presort, need_grads=False,
                 )
                 return (out.color, out.final_T, out.n_contrib, out.num_pairs,
                         out.pair_overflow, out.max_tile_hits, out.hit_overflow)
