@@ -14,10 +14,16 @@ at-scale regime the reference targets but never measured (ROADMAP.md:644).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# A/B knob: carry compositor attrs through the pair sort (default: the
+# shipped training path). Payload columns cost ~1.2 ms per 2.4M pairs
+# (docs/PERF_NOTES.md r4), so the win flips with pair count.
+_CARRY = os.environ.get("TPUGS_TRAIN_CARRY", "1") == "1"
 
 
 def measure_config(img_w, img_h, n, pair_capacity, max_hits, scale_range=None,
@@ -49,7 +55,7 @@ def measure_config(img_w, img_h, n, pair_capacity, max_hits, scale_range=None,
         def loss_fn(p):
             out = render(
                 p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
-                p["sh"], alive, viewmat, intr, cfg, 3, bg,
+                p["sh"], alive, viewmat, intr, cfg, 3, bg, carry_attrs=_CARRY,
             )
             return combined_loss(out.color, target, 0.2)
 

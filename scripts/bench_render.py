@@ -3,6 +3,7 @@
 Reference viewer target: >=30 FPS @1080p with ~1M Gaussians on an RTX 3060
 (ROADMAP.md:766-768); measured 0.7 FPS before optimization on 50k
 (docs/issues.md:367)."""
+import os
 import time
 
 import jax
@@ -38,7 +39,9 @@ def frame(c, it):
     z, p = c
     out = render(p["means"] + z, p["quats"], p["log_scales"],
                  p["opacity_logits"], p["sh"], alive, viewmat, intr,
-                 cfg, 3, bg, need_grads=False)
+                 cfg, 3, bg, need_grads=False,
+                 presort=os.environ.get("PRESORT", "fastest"),
+                 carry_attrs=os.environ.get("CARRY_ATTRS", "0") == "1")
     return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
 

@@ -41,6 +41,7 @@ def frame(c, it):
     out = render(p["means"] + z, p["quats"], p["log_scales"],
                  p["opacity_logits"], p["sh"], alive, viewmat, intr,
                  cfg, 3, bg, need_grads=False,
+                 presort=os.environ.get("PRESORT", "auto"),
                  carry_attrs=os.environ.get("CARRY_ATTRS", "1") == "1")
     return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
@@ -72,8 +73,11 @@ for e in ev:
     if e.get("ph") == "X" and names.get(e.get("pid"), "").startswith(
             "/device:TPU"):
         name = e["name"]
-        if name.startswith("jit_") or name.startswith("while"):
-            continue  # containers double-count their children
+        if (name.startswith("jit_") or name.startswith("while")
+                or name.isdigit()):
+            continue  # containers double-count their children (bare-number
+            #           names are XLA program/module region events — one
+            #           spanned the whole window and doubled the r4 total)
         durs[name] += e["dur"]
         cnt[name] += 1
         total += e["dur"]

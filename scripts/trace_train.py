@@ -92,8 +92,11 @@ for e in ev:
     if e.get("ph") == "X" and names.get(e.get("pid"), "").startswith(
             "/device:TPU"):
         name = e["name"]
-        if name.startswith("jit_") or name.startswith("while"):
-            continue  # containers double-count their children
+        if (name.startswith("jit_") or name.startswith("while")
+                or name.isdigit()):
+            continue  # containers double-count their children (bare-number
+            #           names are XLA program/module region events — one
+            #           spanned the whole window and doubled the r4 total)
         durs[name] += e["dur"]
         cnt[name] += 1
         total += e["dur"]

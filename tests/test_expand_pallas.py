@@ -305,6 +305,65 @@ class TestExpandKernelSlice:
             )
 
 
+class TestQuantKey:
+    """quant_key_bits > 0: single-u32 (tile << bits | depth_bin) unstable
+    sort. With all depths in distinct bins the segments must be bit-identical
+    to the exact 2-key path up to same-bin order — here depths are made
+    distinct, so order is fully pinned."""
+
+    def _proj_distinct(self, n=300, seed=21):
+        p = _proj(n=n, seed=seed)
+        rng = np.random.default_rng(99)
+        d = np.linspace(0.5, 20.0, n).astype(np.float32)
+        rng.shuffle(d)
+        return p.replace(depths=jnp.asarray(d))
+
+    def test_segments_match_exact(self):
+        proj = self._proj_distinct()
+        b_ref = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True
+        )
+        b_new = bin_gaussians_expand_kernel(
+            proj, W, H, TILE, TILE, CAP, interpret=True, quant_key_bits=32
+        )
+        ts, te = np.asarray(b_ref.tile_start), np.asarray(b_ref.tile_stop)
+        tsn, ten = np.asarray(b_new.tile_start), np.asarray(b_new.tile_stop)
+        np.testing.assert_array_equal(te - ts, ten - tsn)
+        g_r, g_n = np.asarray(b_ref.pair_gauss), np.asarray(b_new.pair_gauss)
+        for t in range(ts.shape[0]):
+            np.testing.assert_array_equal(
+                g_r[ts[t]:te[t]], g_n[tsn[t]:ten[t]], err_msg=f"tile {t}"
+            )
+
+    def test_render_qkey_matches(self):
+        rng = np.random.default_rng(23)
+        n = 300
+        means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+        means[:, 2] += 4
+        kw = dict(
+            viewmat=jnp.eye(4),
+            intrinsics=jnp.asarray([60.0, 60.0, 48.0, 32.0]),
+            cfg=RasterConfig(img_h=H, img_w=W, tile_h=TILE, tile_w=TILE,
+                             pair_capacity=CAP, max_hits_per_tile=256),
+            sh_degree=1,
+            background=jnp.zeros(3),
+        )
+        args = (jnp.asarray(means),
+                jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+                jnp.asarray(rng.uniform(-3.2, -1.8, (n, 3)).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 1.5, n).astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)),
+                jnp.ones(n, bool))
+        a = render(*args, **kw, compositor="pallas", presort=False)
+        b = render(*args, **kw, compositor="pallas", presort="qkey")
+        # Random continuous depths: distinct bins at 22+ effective bits with
+        # overwhelming probability -> identical composite.
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(b.color), rtol=2e-6, atol=2e-6
+        )
+        assert int(a.num_pairs) == int(b.num_pairs)
+
+
 class TestCarryAttrs:
     """carry_attrs=True: the expand kernel's streamed attribute rows, after
     riding the pair sort as payload, must be BIT-IDENTICAL within every tile

@@ -703,8 +703,16 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
                  (0, pc_pad - attr_c.shape[1])),
             )
         else:
+            # Valid pairs always occupy the FIRST min(num_pairs, capacity)
+            # sorted slots (sentinels sort to the back), so gather only that
+            # prefix: the expand kernel's padded layout appends ~12-24%
+            # slack slots whose attr rows nobody reads (every tile segment
+            # ends <= num_pairs <= pair_capacity, and the align-copy DMA
+            # overruns at most CHUNK + LANE_ALIGN past a segment).
+            pg = pair_gauss[: min(pair_gauss.shape[0], cfg.pair_capacity)]
             attr_cp = _pack.pack_compact_attrs(
-                pair_gauss, means2d, conic, rgb, opac, pc_pad
+                pg, means2d, conic, rgb, opac,
+                pg.shape[0] + _pack.CHUNK + 2 * _pack.LANE_ALIGN,
             )
         attr = _pack.align_copy_pallas(
             attr_cp, tile_start, astart, counts, p_aligned,

@@ -56,7 +56,11 @@ from tpugs.ops.rasterize_tiled import (
     T_THRESHOLD,
 )
 
-EWAVE = 16  # entries per vector sub-wave (sublane axis)
+import os as _os
+
+EWAVE = int(_os.environ.get("TPUGS_EWAVE", "16"))  # entries per vector
+#              sub-wave (sublane axis); env knob for perf A/B — every value
+#              is exact (the prefix trees are shape-generic)
 GROUP = 128  # entries per dynamically-indexed lane group (Mosaic requires
 #              dynamic lane offsets provably 128-aligned; the EWAVE sub-wave
 #              slices inside a group are STATIC, which is free)

@@ -57,7 +57,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GC = 256  # gaussians per chunk (grid axis)
+import os as _os
+
+GC = int(_os.environ.get("TPUGS_EXPAND_GC", "256"))  # gaussians per chunk
+#      (grid axis); env knob for perf A/B — bigger chunks mean fewer grid
+#      steps and less PAD_ALIGN padding but a wider one-hot matmul
 OB = 512  # output slots per compute/DMA block
 PAD_ALIGN = 128  # per-chunk output padding granularity (DMA alignment)
 ROWS = 16  # table rows: off cnt tx0 ty0 w gx gy r2 depth gid (pad to 16)

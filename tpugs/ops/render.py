@@ -79,6 +79,15 @@ def render(
                       bounded same-bin reorder) — measured SLOWER in context
                       than exact at 1M (192 vs 177 ms); kept as an A/B knob.
       False           the direct (tile, depth) 2-key sort.
+      "qkey"          NO presort; the pair sort runs on ONE quantized u32
+                      (tile << bits | depth_bin) key (pallas path only —
+                      binning.bin_gaussians_expand_kernel quant_key_bits).
+                      BOUNDED approximation: same-bin reorder at ~22
+                      effective depth bits; viewer-only.
+      "fastest"       viewer resolution of "auto": "exact" below N=2^18,
+                      "qkey" above (the r4 A/B: 63.7 vs 68.9 ms at 1080p/1M
+                      with carry_attrs=False on both). Display paths only —
+                      eval/training keep exact modes.
     need_grads (static): emit the pair->gaussian reduction metadata that the
     backward's segment-sum reduction consumes (binning reduce_meta). Costs
     one sort payload in the forward; forward-only callers (viewer,
@@ -86,11 +95,21 @@ def render(
     backward falls back to the XLA scatter-add.
     carry_attrs (static, pallas path only): stream the 9 compositor attribute
     rows from the expand kernel and sort them as payload, replacing the
-    [P]-row pack gather. Only the align-copy kernel consumes the carried
-    rows, so this is forced off when TPUGS_ALIGN_KERNEL=0 (the XLA align A/B
-    would otherwise pay for attributes it ignores)."""
+    [P]-row pack gather. WORKLOAD-DEPENDENT: payload columns cost ~1.2 ms
+    each per 2.4M pairs (scripts/bench_sort_payload.py, r4 fixed probe), so
+    carrying wins at training scale (small P, presorted 1-key sort) and
+    LOSES at viewer scale (68.9 -> 71.7 ms at 1080p/1M) — viewer callers
+    pass False. Only the align-copy kernel consumes the carried rows, so
+    this is forced off when TPUGS_ALIGN_KERNEL=0 (the XLA align A/B would
+    otherwise pay for attributes it ignores)."""
     if presort == "auto":
         presort = "exact" if means.shape[0] <= (1 << 18) else False
+    elif presort == "fastest":
+        presort = "exact" if means.shape[0] <= (1 << 18) else "qkey"
+    quant_key_bits = 0
+    if presort == "qkey":
+        presort = False
+        quant_key_bits = 32
     proj = project_gaussians(
         means, quats, log_scales, opacity_logits, sh, alive,
         viewmat, intrinsics, cfg.img_w, cfg.img_h, sh_degree, scale_modifier,
@@ -142,6 +161,7 @@ def render(
             cfg.pair_capacity, interpret=_interpret(),
             presorted=bool(presort), reduce_meta=need_grads,
             carry_attrs=carry_attrs and ALIGN_KERNEL,
+            quant_key_bits=quant_key_bits,
         )
     else:
         binning = bin_gaussians(

@@ -59,7 +59,7 @@ class OfflineRenderer:
     def __init__(self, params: dict, sh_degree: int = -1,
                  tile: int = 32, pair_capacity: int = 1 << 21,
                  max_hits: int = 2048, on_overflow: str = "grow",
-                 log=None, presort: str = "auto"):
+                 log=None, presort: str = "fastest"):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         n = self.params["means"].shape[0]
         self.alive = jnp.ones((n,), bool)
@@ -74,9 +74,10 @@ class OfflineRenderer:
         if on_overflow not in ("grow", "warn", "error"):
             raise ValueError(f"unknown on_overflow policy {on_overflow!r}")
         self.on_overflow = on_overflow
-        # "auto": presort only below N=2^18 — all modes are bit-identical,
-        # and at viewer scale (1M) skipping the presort is ~56 ms/frame
-        # faster (ops.render docstring; scripts/ab_presort.py).
+        # "fastest": exact presort below N=2^18, quantized single-u32 pair
+        # key above (BOUNDED same-bin depth reorder at ~22 bits — invisible
+        # for display; r4 A/B 63.7 vs 68.9 ms at 1080p/1M). Pass "auto" for
+        # fully exact rendering (eval paths always use exact modes).
         self.presort = presort
         self.log = log if log is not None else _stderr_log
         self._render_jit = {}
@@ -96,11 +97,13 @@ class OfflineRenderer:
             def fn(viewmat, intr, bg):
                 # Forward-only: skip the reduce metadata (iota sort payload +
                 # interval math) that only the backward's segment-sum
-                # reduction consumes (ops.render need_grads contract).
+                # reduction consumes (ops.render need_grads contract), and
+                # gather attrs instead of carrying them through the sort
+                # (payload columns lose at viewer pair counts, r4 A/B).
                 out = render(
                     p["means"], p["quats"], p["log_scales"], p["opacity_logits"],
                     p["sh"], alive, viewmat, intr, cfg, sh_degree, bg,
-                    presort=self.presort, need_grads=False,
+                    presort=self.presort, need_grads=False, carry_attrs=False,
                 )
                 return (out.color, out.final_T, out.n_contrib, out.num_pairs,
                         out.pair_overflow, out.max_tile_hits, out.hit_overflow)
