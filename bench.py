@@ -20,10 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-# A/B knob: carry compositor attrs through the pair sort (default: the
-# shipped training path). Payload columns cost ~1.2 ms per 2.4M pairs
-# (docs/PERF_NOTES.md r4), so the win flips with pair count.
-_CARRY = os.environ.get("TPUGS_TRAIN_CARRY", "1") == "1"
+# A/B knob: carry compositor attrs through the pair sort. Default off — the
+# sliced pack gather beats the sort payloads at both bench scales
+# (docs/PERF_NOTES.md r4: 201.7x vs 192.9x at 50k).
+_CARRY = os.environ.get("TPUGS_TRAIN_CARRY", "0") == "1"
 
 
 def measure_config(img_w, img_h, n, pair_capacity, max_hits, scale_range=None,

@@ -41,8 +41,8 @@ def frame(c, it):
     out = render(p["means"] + z, p["quats"], p["log_scales"],
                  p["opacity_logits"], p["sh"], alive, viewmat, intr,
                  cfg, 3, bg, need_grads=False,
-                 presort=os.environ.get("PRESORT", "auto"),
-                 carry_attrs=os.environ.get("CARRY_ATTRS", "1") == "1")
+                 presort=os.environ.get("PRESORT", "fastest"),
+                 carry_attrs=os.environ.get("CARRY_ATTRS", "0") == "1")
     return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
 

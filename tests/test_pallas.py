@@ -253,6 +253,37 @@ class TestAlignKernelAB:
         )
 
 
+class TestEwaveKnob:
+    """TPUGS_EWAVE (sub-wave depth) is a pure perf knob — every value must
+    be exact. Pins the non-default shapes the TPU sweep uses."""
+
+    @pytest.mark.parametrize("ewave", [8, 16, 32])
+    def test_ewave_parity(self, monkeypatch, ewave):
+        from tpugs.ops.pallas import composite_t as ct
+
+        monkeypatch.setattr(ct, "EWAVE", ewave)
+        monkeypatch.setattr(ct, "GSUB", ct.GROUP // ewave)
+        params = make_params(60, seed=13)
+        op = run(params, "pallas", cfg=CFG32)
+        os_ = run(params, "scan", cfg=CFG32)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.n_contrib), np.asarray(os_.n_contrib)
+        )
+
+        def loss(p, c):
+            return jnp.sum(run(p, c, cfg=CFG32).color ** 2)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+
 class TestLaneGeometry:
     """The lane-wave kernel geometry (pixels on sublanes, 128-entry lane
     waves — the round-1/2 kernels) is kept for A/B via

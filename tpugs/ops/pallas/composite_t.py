@@ -58,9 +58,13 @@ from tpugs.ops.rasterize_tiled import (
 
 import os as _os
 
-EWAVE = int(_os.environ.get("TPUGS_EWAVE", "16"))  # entries per vector
+EWAVE = int(_os.environ.get("TPUGS_EWAVE", "64"))  # entries per vector
 #              sub-wave (sublane axis); env knob for perf A/B — every value
-#              is exact (the prefix trees are shape-generic)
+#              is exact (the prefix trees are shape-generic). Default 64
+#              from the r4 TPU ladder at 1080p/1M (ms/frame): 8 -> 75.7,
+#              16 -> 59.8, 32 -> 57.3, 64 -> 56.5, 128 -> 57.5 — the
+#              prefix-tree cost per entry falls as log2(E)/E until the
+#              deeper wave's tail waste catches up
 GROUP = 128  # entries per dynamically-indexed lane group (Mosaic requires
 #              dynamic lane offsets provably 128-aligned; the EWAVE sub-wave
 #              slices inside a group are STATIC, which is free)

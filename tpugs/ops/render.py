@@ -58,7 +58,7 @@ def render(
     compositor: str = "auto",
     presort="auto",
     need_grads: bool = True,
-    carry_attrs: bool = True,
+    carry_attrs: bool = False,
 ) -> RenderOutput:
     """Differentiable render of one view. Static: cfg, sh_degree, scale_modifier,
     compositor ("auto" | "pallas" | "scan"): "auto" picks the Pallas kernels on
@@ -95,13 +95,13 @@ def render(
     backward falls back to the XLA scatter-add.
     carry_attrs (static, pallas path only): stream the 9 compositor attribute
     rows from the expand kernel and sort them as payload, replacing the
-    [P]-row pack gather. WORKLOAD-DEPENDENT: payload columns cost ~1.2 ms
-    each per 2.4M pairs (scripts/bench_sort_payload.py, r4 fixed probe), so
-    carrying wins at training scale (small P, presorted 1-key sort) and
-    LOSES at viewer scale (68.9 -> 71.7 ms at 1080p/1M) — viewer callers
-    pass False. Only the align-copy kernel consumes the carried rows, so
-    this is forced off when TPUGS_ALIGN_KERNEL=0 (the XLA align A/B would
-    otherwise pay for attributes it ignores)."""
+    [P]-row pack gather. Default False: payload columns cost ~1.2 ms each
+    per 2.4M pairs (scripts/bench_sort_payload.py, r4 fixed probe — the r3
+    "free payloads" probe was DCE'd), and with the pack gather sliced to the
+    capacity prefix the gather wins at BOTH measured scales (viewer 1080p/1M
+    68.9 vs 71.7 ms; train bench 201.7x vs 192.9x). Kept as an A/B knob.
+    Only the align-copy kernel consumes the carried rows, so this is forced
+    off when TPUGS_ALIGN_KERNEL=0."""
     if presort == "auto":
         presort = "exact" if means.shape[0] <= (1 << 18) else False
     elif presort == "fastest":

@@ -201,15 +201,16 @@ def exchange_and_render_local(
         # with LOCAL tile ids; attrs ride the sort and skip the pack gather.
         from tpugs.ops.binning import bin_gaussians_expand_kernel
         from tpugs.ops.pallas.composite import (
-            ALIGN_KERNEL,
             _interpret,
             composite_tiles_pallas,
         )
 
+        # carry_attrs off: the sliced pack gather beats sort payloads at
+        # every measured pair count (docs/PERF_NOTES.md r4 A/B).
         binning = bin_gaussians_expand_kernel(
             work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
             local_cfg.pair_capacity, interpret=_interpret(), presorted=True,
-            carry_attrs=ALIGN_KERNEL, tile_row_lo=row_lo, num_tile_rows=rpd,
+            tile_row_lo=row_lo, num_tile_rows=rpd,
         )
         binning, max_tile_hits = clamp_tile_segments(
             binning, local_cfg.max_hits_per_tile
