@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=184)
     p.add_argument("--capacity", type=int, default=1 << 14)
     p.add_argument("-o", "--workdir", default=None)
+    p.add_argument("--arm", choices=["single", "mesh", "both"],
+                   default="both",
+                   help="run one arm only (the GT scene is deterministic, "
+                        "so arms recorded from separate invocations are "
+                        "comparable)")
     args = p.parse_args(argv)
 
     from tpugs.utils.gt_scene import make_gt_model, write_gt_dataset
@@ -66,20 +71,21 @@ def main(argv=None):
     write_gt_dataset(scene, model, num_views=args.views, width=args.width,
                      height=args.height, jitter=0.6, elevation_rings=2)
 
+    arms = [("single", ""), ("mesh", "data=2,gauss=4")]
+    if args.arm != "both":
+        arms = [a for a in arms if a[0] == args.arm]
     rows = {}
-    for name, mesh in [("single", ""), ("mesh", "data=2,gauss=4")]:
+    for name, mesh in arms:
         psnr, ssim, n = run(scene, os.path.join(workdir, name),
                             args.iterations, args.mcmc, mesh, args.capacity)
         rows[name] = {"psnr": round(psnr, 2), "ssim": round(ssim, 4), "n": n}
         print(f"[{name}] PSNR {psnr:.2f} SSIM {ssim:.4f} N {n}", flush=True)
 
-    delta = rows["mesh"]["psnr"] - rows["single"]["psnr"]
-    print(json.dumps({
-        "mode": "mcmc" if args.mcmc else "adc",
-        "iterations": args.iterations,
-        "single": rows["single"], "mesh": rows["mesh"],
-        "delta_db": round(delta, 2),
-    }))
+    out = {"mode": "mcmc" if args.mcmc else "adc",
+           "iterations": args.iterations, **rows}
+    if len(rows) == 2:
+        out["delta_db"] = round(rows["mesh"]["psnr"] - rows["single"]["psnr"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

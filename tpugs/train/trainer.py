@@ -404,6 +404,27 @@ class Trainer:
             self.dataset.points_xyz, self.dataset.points_rgb,
             capacity=capacity, max_sh_degree=config.sh_degree,
         )
+        if self.mesh is not None and self.mesh.shape["gauss"] > 1:
+            # Interleave initial slots across the gauss shards. init packs
+            # the N0 alive gaussians into slots [0, N0) — contiguous
+            # sharding then gives shard 0 a FULL slot range (no free slots:
+            # cannot clone/split) and the tail shards ZERO alive gaussians
+            # (nothing to clone from, ever — ADC free lists are
+            # shard-local). Measured on the r4 mesh-mode quality row: the
+            # packed layout lost 2.5 dB with N collapsing to one shard's
+            # capacity. old slot i -> shard i%g, local slot i//g (a
+            # transpose), so every shard starts with ~N0/g alive and an
+            # equal free list.
+            g = self.mesh.shape["gauss"]
+            interleave = lambda a: jnp.swapaxes(
+                a.reshape((capacity // g, g) + a.shape[1:]), 0, 1
+            ).reshape(a.shape)
+            gs = GaussianState(
+                means=interleave(gs.means), quats=interleave(gs.quats),
+                log_scales=interleave(gs.log_scales),
+                opacity_logits=interleave(gs.opacity_logits),
+                sh=interleave(gs.sh), alive=interleave(gs.alive),
+            )
 
         pair_capacity = config.pair_capacity
         if config.auto_pair_capacity:
