@@ -25,7 +25,7 @@ def bench(th, tw, cap, max_hits=4096):
         z, p = c
         out = render(p["means"] + z, p["quats"], p["log_scales"],
                      p["opacity_logits"], p["sh"], alive, viewmat, intr,
-                     cfg, 3, bg)
+                     cfg, 3, bg, need_grads=False, presort="fastest")
         return (jnp.tanh(jnp.sum(out.color)) * 1e-20, p)
 
     try:

@@ -94,6 +94,31 @@ class TestDistTrainer:
             np.sort(m_mesh.ravel()), np.sort(m_single.ravel()), rtol=1e-6
         )
 
+    def test_hit_overflow_compares_grown_raster(self, scene_dir, tmp_path):
+        """Regression: after the grow policy enlarges
+        raster.max_hits_per_tile and rebuilds the dist step, hit_overflow
+        must compare against the GROWN raster capacity (what
+        clamp_tile_segments truncates at), not the stale TrainConfig value —
+        the stale compare raised a false "work dropped this block" overflow
+        on every block after the first hit growth (seen on the mesh-ADC
+        quality run)."""
+        logs = []
+        t = Trainer(
+            scene_dir,
+            _cfg(str(tmp_path / "of"), mesh="data=2,gauss=4",
+                 max_hits_per_tile=16),
+            log_fn=logs.append,
+        )
+        t.train()
+        text = "\n".join(logs)
+        # The tiny cap must trigger real overflow + growth at least once.
+        assert "-> growing" in text, text
+        assert t.raster.max_hits_per_tile > 16
+        # Growth rounds up past the observed maximum, so a correctly-compared
+        # hit_overflow can never report overflow without computing growth in
+        # this config (pairs/sends never overflow at these sizes).
+        assert "capacities unchanged" not in text, text
+
     def test_mcmc_relocate_under_mesh(self, scene_dir, tmp_path):
         cfg = _cfg(
             str(tmp_path / "mcmc"), densify_mode="mcmc",

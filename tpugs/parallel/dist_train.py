@@ -277,7 +277,15 @@ def make_dist_multi_step(cfg, raster: RasterConfig, mesh: Mesh,
             ),
             pair_overflow=overflow,
             max_tile_hits=max_hits,
-            hit_overflow=max_hits > cfg.max_hits_per_tile,
+            # Compare against the RASTER capacity (what clamp_tile_segments
+            # actually truncates at), NOT cfg.max_hits_per_tile: the Trainer's
+            # grow policy enlarges raster.max_hits_per_tile and rebuilds this
+            # step while TrainConfig keeps its static default — comparing
+            # against the stale config raised a false "work dropped" overflow
+            # every block after the first hit-capacity growth (observed on the
+            # mesh-ADC quality run: busiest tile 2740/3456 flagged vs the
+            # original 2048).
+            hit_overflow=max_hits > raster.max_hits_per_tile,
             # Worst per-device local pair count / exchange send count: the
             # grow policy must size from these, not the global sum — a single
             # overloaded tile slice can overflow while global pairs still fit
