@@ -63,3 +63,21 @@ class TestViewerControls:
         assert rgb.shape == depth.shape == heat.shape == (64, 64, 3)
         low = _decode(server.render_jpeg({"scale": 2}))
         assert low.shape == (32, 32, 3)
+
+    def test_drag_frames_use_cached_path(self, server):
+        """scale != 1 rgb requests route through render_interactive (the
+        frame-coherent cached path) and track the exact render closely."""
+        server.renderer._icache = None
+        drag = _decode(server.render_jpeg({"scale": 2, "azimuth": 0.1}))
+        assert server.renderer._icache is not None  # cached path was taken
+        assert drag.shape == (32, 32, 3)
+        # A nearby drag frame reuses the anchor.
+        st = server.renderer._icache
+        drag2 = _decode(server.render_jpeg({"scale": 2, "azimuth": 0.105}))
+        assert server.renderer._icache is st
+        assert not np.array_equal(drag, drag2)  # camera delta is rendered
+        # Depth/heatmap and full-res requests stay on the exact path.
+        age = st["age"]
+        server.render_jpeg({"scale": 2, "mode": "depth", "azimuth": 0.105})
+        server.render_jpeg({"azimuth": 0.105})
+        assert server.renderer._icache["age"] == age

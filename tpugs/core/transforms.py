@@ -137,21 +137,12 @@ def world_to_camera_points(positions: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.
     return positions @ viewmat[:3, :3].T + viewmat[:3, 3]
 
 
-def ewa_cov2d_scalar(log_scales, quats, W, t_cam, fx, fy,
-                     scale_modifier: float = 1.0):
-    """Fused component-wise EWA chain: (log_scales [N,3], quats [N,4],
-    W [3,3], t_cam [N,3]) -> packed 2D covariance (a, b, c) [N, 3].
+def cov3d_components(log_scales, quats, scale_modifier: float = 1.0):
+    """Static half of the component-wise EWA chain: the 6 unique entries of
+    Sigma = M M^T packed as [..., 6] = (c00, c01, c02, c11, c12, c22).
 
-    Same math as compute_cov2d(compute_cov3d(...), ...) — pinned to ~1e-5 by
-    tests/test_core_math.py — but written as [N]-vector component arithmetic
-    with NO [N, 3, 3] / [N, 2, 3] intermediates. The matrix form compiles to
-    batched tiny dot_generals on TPU: bf16 MXU passes over T(2,128)/T(4,128)
-    layouts plus relayout copies and layout-strided component extraction —
-    measured ~36 ms/frame at N=1M of a 108 ms viewer frame (round-3 xprof
-    trace, docs/PERF_NOTES.md). The component form is one VPU loop fusion
-    (~100 multiply-adds/gaussian, f32 end to end — also removes the MXU's
-    bf16 rounding from the forward covariance).
-    """
+    Camera-independent — the viewer's cached-frame path precomputes this per
+    (tile, gaussian) pair once per binning refresh (ops/render_cached.py)."""
     s = jnp.exp(log_scales + jnp.log(scale_modifier + 1e-8))  # [N, 3]
     q = quats / jnp.sqrt(jnp.sum(quats * quats, -1, keepdims=True) + 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
@@ -173,6 +164,35 @@ def ewa_cov2d_scalar(log_scales, quats, W, t_cam, fx, fy,
     c11 = m10 * m10 + m11 * m11 + m12 * m12
     c12 = m10 * m20 + m11 * m21 + m12 * m22
     c22 = m20 * m20 + m21 * m21 + m22 * m22
+    return jnp.stack([c00, c01, c02, c11, c12, c22], axis=-1)
+
+
+def ewa_cov2d_scalar(log_scales, quats, W, t_cam, fx, fy,
+                     scale_modifier: float = 1.0):
+    """Fused component-wise EWA chain: (log_scales [N,3], quats [N,4],
+    W [3,3], t_cam [N,3]) -> packed 2D covariance (a, b, c) [N, 3].
+
+    Same math as compute_cov2d(compute_cov3d(...), ...) — pinned to ~1e-5 by
+    tests/test_core_math.py — but written as [N]-vector component arithmetic
+    with NO [N, 3, 3] / [N, 2, 3] intermediates. The matrix form compiles to
+    batched tiny dot_generals on TPU: bf16 MXU passes over T(2,128)/T(4,128)
+    layouts plus relayout copies and layout-strided component extraction —
+    measured ~36 ms/frame at N=1M of a 108 ms viewer frame (round-3 xprof
+    trace, docs/PERF_NOTES.md). The component form is one VPU loop fusion
+    (~100 multiply-adds/gaussian, f32 end to end — also removes the MXU's
+    bf16 rounding from the forward covariance).
+    """
+    comps = cov3d_components(log_scales, quats, scale_modifier)
+    return ewa_cov2d_from_comps(comps, W, t_cam, fx, fy)
+
+
+def ewa_cov2d_from_comps(comps, W, t_cam, fx, fy):
+    """Dynamic half of the component-wise EWA chain: packed cov3d components
+    [..., 6] + camera (W [3,3], t_cam [..., 3]) -> packed 2D covariance
+    [..., 3]. Identical operations (and therefore bits) to the fused
+    ewa_cov2d_scalar after its Sigma components."""
+    c00, c01, c02 = comps[..., 0], comps[..., 1], comps[..., 2]
+    c11, c12, c22 = comps[..., 3], comps[..., 4], comps[..., 5]
     # T = J W with J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
     # (reference: projection.cuh:113-165). W rows are per-frame scalars.
     tx, ty, tz = t_cam[..., 0], t_cam[..., 1], t_cam[..., 2]

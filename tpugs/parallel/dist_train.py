@@ -22,10 +22,18 @@ ADC densification under sharding runs with SHARD-LOCAL free lists: each
 shard clones/splits/prunes within its own slot range. This diverges from
 single-device slot allocation order only (not from the math: thresholds are
 per-gaussian) and keeps the event collective-free; a shard can be
-clone-starved while another has free slots (quantified acceptable on the
-mesh-mode quality row, docs/PERF_NOTES.md). MCMC relocation/growth uses
-GLOBALLY-faithful sampling and granting (parallel/dist_mcmc.py). Event
-statistics are psum'd over "gauss" for logging.
+clone-starved while another has free slots. For this to be livable the
+INITIAL slots must be interleaved across shards (core/init.py mesh layout):
+contiguous packing left low shards slot-full and high shards gaussian-empty,
+structurally starving clone/split (-2.52 dB on the 2k-iteration mesh quality
+row). With interleaving, the measured mesh-mode quality rows
+(docs/PERF_NOTES.md "Mesh-mode quality rows", data=2,gauss=4 vs single,
+2k iters) show NO quality loss: ADC 28.21 vs 26.80 single, MCMC 22.66 vs
+22.31 single — the mesh arms train slightly BETTER because camera-batch DP
+averages d views per step (lower gradient variance at equal iterations).
+MCMC relocation/growth uses GLOBALLY-faithful sampling and granting
+(parallel/dist_mcmc.py). Event statistics are psum'd over "gauss" for
+logging.
 
 Gradient normalization: the raw shard_map gradient is d(sum of ALL device
 losses)/d(local shard). The render loss is replicated within each gauss group

@@ -20,6 +20,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -123,10 +124,25 @@ class ViewerServer:
         h -= h % t or 0
         info = cam.build_camera(max(w, t), max(h, t))
         sh_deg = int(req.get("sh", -1) if req.get("sh") is not None else -1)
+        mode = req.get("mode", "rgb")
+        # Drag frames (scale > 1) take the frame-coherent cached path
+        # (OfflineRenderer.render_interactive): anchor binning reused across
+        # small camera deltas, ~1.9x the exact frame rate. Release frames
+        # (scale == 1) and the depth/heatmap modes stay exact.
+        interactive = scale != 1 and mode == "rgb"
         with self._render_lock:
-            img = self.renderer.render_camera(info, req.get("mode", "rgb"),
-                                              self.background,
-                                              sh_degree=sh_deg)
+            if interactive:
+                color, _ = self.renderer.render_interactive(
+                    info.height, info.width,
+                    jnp.asarray(info.world_to_camera(), jnp.float32),
+                    jnp.asarray(info.intrinsics_array()),
+                    self.background, sh_degree=sh_deg,
+                )
+                img = np.clip(np.asarray(color), 0.0, 1.0)
+            else:
+                img = self.renderer.render_camera(info, mode,
+                                                  self.background,
+                                                  sh_degree=sh_deg)
         buf = io.BytesIO()
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             buf, "JPEG", quality=90
