@@ -26,8 +26,11 @@ from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
 img_w, img_h = 1920, 1088
 n = 1_000_000
-cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=64, tile_w=32,
-                   pair_capacity=2_129_920, max_hits_per_tile=8192)
+# 32x32 wins the CACHED ladder (scripts/sweep_cached_tiles.py: 24.9 ms vs
+# 31.9 at the exact path's 64x32): cached frames pay no per-frame
+# [P]-plumbing, so smaller tiles trade pair count for composite work.
+cfg = RasterConfig(img_h=img_h, img_w=img_w, tile_h=32, tile_w=32,
+                   pair_capacity=3_407_872, max_hits_per_tile=4096)
 params = synthetic_params(n, seed=0, scale_range=(0.002, 0.015))
 alive = jnp.ones((n,), bool)
 viewmat = jnp.eye(4)

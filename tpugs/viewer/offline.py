@@ -230,7 +230,8 @@ class OfflineRenderer:
         is built once at an ANCHOR camera and reused while the camera stays
         within the re-anchor thresholds; each frame re-projects every pair
         exactly for the current camera and runs only the compositor kernel —
-        31.5 FPS vs 17.0 exact at 1080p/1M (scripts/bench_render_cached.py).
+        39.4 FPS cached / 31.6 amortized (re-anchor every 8) vs 17.7 exact
+        at 1080p/1M (scripts/bench_render_cached.py, 32x32 tiles).
         Bounded approximation (anchor tile membership / compositing order /
         SH view direction — module docstring); display-only, never used by
         eval or training."""
