@@ -740,6 +740,23 @@ def _pallas_fwd(cfg, tile_start, tile_stop, pair_gauss, means2d, conic, rgb, opa
     return (color, t, nc), res
 
 
+def _bwd_entry_rows(cfg, astart, astop, attr, d_color, r0, final_t, kl,
+                    row_offset):
+    """Entry-major per-pair gradient rows [P_aligned, >= NUM_ATTR] from the
+    geometry-selected backward kernel. The transposed kernel emits this
+    layout natively ([P, OUT_LANES] — composite_t.OUT_LANES rationale); the
+    lane-wave A/B geometry keeps [ATTR_ROWS, P] and pays the relayout
+    transpose here."""
+    _, bwd_impl = _kernel_impls()
+    out = bwd_impl(
+        cfg, astart, astop, attr, d_color, r0, final_t, kl, row_offset,
+        interpret=_interpret(),
+    )
+    if KERNEL_GEOMETRY == "transposed":
+        return out  # [P_aligned, OUT_LANES]
+    return out[:NUM_ATTR, :].T  # [P_aligned, 9]
+
+
 def _pallas_bwd(cfg, res, cot):
     (astart, astop, aligned_gauss, avalid, attr, final_t, kl, background, n,
      row_offset, n_pairs, carried_rows) = res
@@ -748,11 +765,9 @@ def _pallas_bwd(cfg, res, cot):
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
-    _, bwd_impl = _kernel_impls()
-    d_attr = bwd_impl(
+    d_attr = _bwd_entry_rows(
         cfg, astart, astop, attr, d_color, r0, final_t, kl, row_offset,
-        interpret=_interpret(),
-    )[:NUM_ATTR, :].T  # [P_aligned, 9]
+    )[:, :NUM_ATTR]  # [P_aligned, 9]
 
     # Pair -> gaussian reduction (deterministic XLA scatter-add). Alignment
     # gaps and columns past the last tile's range are masked out.
@@ -919,25 +934,24 @@ def _segred_bwd(cfg, res, cot):
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
-    _, bwd_impl = _kernel_impls()
-    d_attr = bwd_impl(
+    d_rows = _bwd_entry_rows(
         cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
-        interpret=_interpret(),
-    )  # [ATTR_ROWS, P_aligned]
+    )  # [P_aligned, OUT_LANES] (transposed geometry: native entry-major)
+    if d_rows.shape[1] != SR.IN_LANES:
+        # Lane-wave A/B geometry: pad the 9 gradient lanes to the reduce
+        # kernel's row width (physically free — a [P, 9] f32 array is
+        # 128-lane padded in HBM anyway).
+        d_rows = jnp.pad(d_rows, ((0, 0), (0, SR.IN_LANES - d_rows.shape[1])))
 
     # Re-order the per-pair gradient rows into the gaussian-major expansion
     # domain: (1) each sorted pair's aligned position is elementwise
     # (astart[tile] + rank within tile, valid iff inside the CLAMPED stop);
     # (2) one u32 sort keyed on the expansion slot inverts the pair sort.
-    # Gap/culled/clamped/sentinel slots land on the appended zero rows.
+    # Gap/culled/clamped/sentinel slots fold to the out-of-range marker and
+    # are masked to zero in the gather (rows past each tile's chunked range
+    # are unwritten kernel output — never read unmasked).
     i32 = jnp.int32
     p_al = attr.shape[1]
-    # Pad rows to a full 128-lane tile (physically free — a [P, 16] f32
-    # array is 128-lane padded in HBM anyway) so the kernel can DMA whole
-    # rows; +8 zero sublane rows give invalid slots a zero target.
-    rows16 = jnp.pad(
-        d_attr.T, ((0, 8), (0, SR.IN_LANES - d_attr.shape[0]))
-    )  # [P_al + 8, IN_LANES]
     zero_idx = p_al
     p_out = pair_tile.shape[0]
     tbl = jnp.concatenate(
@@ -953,7 +967,11 @@ def _segred_bwd(cfg, res, cot):
     _, a_e = jax.lax.sort((exp_slot.astype(jnp.uint32), a_fold), num_keys=1)
     p_in = -(-p_out // SR.C) * SR.C + SR.C
     a_e = jnp.pad(a_e, (0, p_in - p_out), constant_values=zero_idx)
-    gathered = rows16[a_e]  # [p_in, ATTR_ROWS] gid-major gradient rows
+    gathered = jnp.where(
+        (a_e < p_al)[:, None],
+        d_rows[jnp.minimum(a_e, p_al - 1)],
+        0.0,
+    )  # [p_in, IN_LANES] gid-major gradient rows
 
     acc16 = SR.segment_reduce_pallas(
         gathered, red_start, red_count, exp_end, interpret=_interpret()

@@ -70,6 +70,15 @@ GROUP = 128  # entries per dynamically-indexed lane group (Mosaic requires
 #              slices inside a group are STATIC, which is free)
 GSUB = GROUP // EWAVE  # sub-waves unrolled per group
 CHUNK = 512  # entries per DMA chunk
+OUT_LANES = 128  # backward-output row width: NUM_ATTR gradient lanes padded
+#                  to one full lane tile. The backward emits ENTRY-MAJOR
+#                  [P_pad, OUT_LANES] rows — the natural in-kernel layout
+#                  (per-wave grads are (EWAVE, attr) already) and exactly
+#                  what the segment-reduce consumer streams (segreduce
+#                  IN_LANES). The old [ATTR_ROWS, P_pad] contract forced an
+#                  XLA relayout-transpose + lane pad outside the kernel
+#                  (1.62 + 0.44 ms of the 8.9 ms 50k train step, r4 xprof)
+#                  plus GSUB in-kernel transposes per group.
 
 
 def _sub_shift_down_fill(m, s, fill):
@@ -348,7 +357,7 @@ def _bwd_kernel(cfg: RasterConfig,
     def dma_out(slot, chunk_idx):
         return pltpu.make_async_copy(
             out_buf.at[slot],
-            dattr_hbm.at[:, pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK)],
+            dattr_hbm.at[pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK), :],
             out_sems.at[slot],
         )
 
@@ -373,7 +382,7 @@ def _bwd_kernel(cfg: RasterConfig,
         # Zero-fill once; the group loop writes only ACTIVE groups (groups
         # whose entries are all past every pixel's last contributor produce
         # zero grads and unchanged T/R, so they are skipped wholesale).
-        out_buf[slot, :, :] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+        out_buf[slot, :, :] = jnp.zeros((CHUNK, OUT_LANES), jnp.float32)
 
         gpc_ = CHUNK // GROUP
         n_active = jnp.clip((max_kl - c * CHUNK) // GROUP + 1, 0, gpc_)
@@ -426,7 +435,9 @@ def _bwd_kernel(cfg: RasterConfig,
                 def rsum(x):
                     return jnp.sum(x, axis=1, keepdims=True)  # (EWAVE, 1)
 
-                grad_t = jnp.concatenate(
+                # Entry-major (EWAVE, OUT_LANES) rows — no transpose: the
+                # (EWAVE, 1) reductions already have entries on sublanes.
+                pieces[j] = jnp.concatenate(
                     [
                         -rsum(g_dx),  # d mean_x
                         -rsum(g_dy),  # d mean_y
@@ -437,17 +448,16 @@ def _bwd_kernel(cfg: RasterConfig,
                         rsum(w_px * dcr),  # d r
                         rsum(w_px * dcg),  # d g
                         rsum(w_px * dcb),  # d b
-                        jnp.zeros((EWAVE, ATTR_ROWS - NUM_ATTR), jnp.float32),
+                        jnp.zeros((EWAVE, OUT_LANES - NUM_ATTR), jnp.float32),
                     ],
                     axis=1,
-                )  # (EWAVE, ATTR_ROWS)
-                pieces[j] = jnp.transpose(grad_t)  # (ATTR_ROWS, EWAVE)
+                )  # (EWAVE, OUT_LANES)
 
                 Th = Th / sp[0:1, :]  # whole-sub-wave transmittance peel
                 Rh = Rh + s_incl[0:1, :]
 
-            out_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)] = (
-                jnp.concatenate(pieces, axis=1)
+            out_buf[slot, pl.ds(pl.multiple_of(base_g, GROUP), GROUP), :] = (
+                jnp.concatenate(pieces, axis=0)
             )
             return Th, Rh
 
@@ -471,8 +481,10 @@ def _bwd_kernel(cfg: RasterConfig,
 def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
                               d_color_t, r0, final_t, k_last, row_offset=0,
                               interpret: bool = False):
-    """Run the backward kernel. d_color_t [T, PIX, 3]; returns per-pair
-    gradient rows [ATTR_ROWS, P_pad] (columns past each tile's range zero)."""
+    """Run the backward kernel. d_color_t [T, PIX, 3]; returns ENTRY-MAJOR
+    per-pair gradient rows [P_pad, OUT_LANES] (first NUM_ATTR lanes; rows
+    past each tile's chunked range are UNWRITTEN — consumers mask on
+    validity, composite._pallas_bwd / _segred_bwd)."""
     num_tiles, pix = cfg.num_tiles, cfg.pix
     p_pad = sorted_attr.shape[1]
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape((1,))
@@ -495,7 +507,7 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, CHUNK, OUT_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -504,7 +516,7 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
     (d_attr,) = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ATTR_ROWS, p_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((p_pad, OUT_LANES), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
