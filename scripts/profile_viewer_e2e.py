@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import tpugs.ops.binning as B
 from tpugs.ops.binning import clamp_tile_segments, presort_by_depth
 from tpugs.ops.pallas import pack as PK
-from tpugs.ops.pallas.composite import _interpret, _kernel_impls
+from tpugs.ops.pallas.composite import _fwd_impl, _interpret
 from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig, tiles_to_image
 from tpugs.utils.profiling import device_time
@@ -146,8 +146,7 @@ def upto(stage):
                                     interpret=_interpret())
         if stage == "align":
             return (feed(attr) + feed(a0), p)
-        fwd, _ = _kernel_impls()
-        color, t, nc, kl = fwd(cfg, a0, a1, attr)
+        color, t, nc, kl = _fwd_impl(cfg, a0, a1, attr)
         if stage == "kernel":
             return (feed(color), p)
         img = tiles_to_image(cfg, color)[:img_h, :img_w]

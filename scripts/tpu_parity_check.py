@@ -1,5 +1,4 @@
-"""On-TPU parity check: Pallas compositor (whichever geometry
-TPUGS_KERNEL_GEOMETRY selects) vs the scan oracle, forward + gradients.
+"""On-TPU parity check: Pallas compositor vs the scan oracle, forward + gradients.
 
 The CPU test suite runs the kernels in interpret mode only; this is the
 on-hardware (Mosaic-compiled) counterpart of tests/test_pallas.py — run it
@@ -13,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpugs.ops.pallas.composite import KERNEL_GEOMETRY
+
 from tpugs.ops.render import RasterConfig, render
 from tpugs.utils.synthetic import synthetic_intrinsics, synthetic_params
 
@@ -30,7 +29,7 @@ viewmat = jnp.eye(4)
 intr = synthetic_intrinsics(img_w, img_h)
 bg = jnp.asarray([0.2, 0.1, 0.3])
 
-print(f"backend={jax.default_backend()} geometry={KERNEL_GEOMETRY} "
+print(f"backend={jax.default_backend()} geometry=transposed "
       f"tile={th}x{tw}")
 
 

@@ -195,54 +195,15 @@ class TestOddTileSizes:
             )
 
 
-class TestAlignKernelAB:
-    """The Pallas align-copy path (pallas/pack.py) vs the round-2 XLA
-    align_segments + pack_sorted_attrs path: identical pixels and grads."""
-
-    def _both(self, fn):
-        from tpugs.ops.pallas import composite as comp
-
-        saved = comp.ALIGN_KERNEL
-        try:
-            comp.ALIGN_KERNEL = True
-            a = fn()
-            comp.ALIGN_KERNEL = False
-            b = fn()
-        finally:
-            comp.ALIGN_KERNEL = saved
-        return a, b
-
-    def test_forward_bitexact(self):
-        params = make_params(80, seed=7)
-        a, b = self._both(lambda: run(params, "pallas", cfg=CFG32))
-        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
-        np.testing.assert_array_equal(
-            np.asarray(a.final_T), np.asarray(b.final_T)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(a.n_contrib), np.asarray(b.n_contrib)
-        )
-
-    def test_grads_bitexact(self):
-        params = make_params(60, seed=8)
-        target = jnp.zeros((H, W, 3))
-
-        def loss():
-            def f(p):
-                out = run(p, "pallas")
-                return jnp.mean((out.color - target) ** 2)
-
-            return jax.grad(f)(params)
-
-        ga, gb = self._both(loss)
-        for k in params:
-            np.testing.assert_array_equal(
-                np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
-            )
+class TestAlignCopyClamp:
+    """The align-copy DMA kernel (pallas/pack.py) must honor clamped
+    segments (max_hits small), not the raw sort runs. (The round-2 XLA
+    align_segments + pack_sorted_attrs production path and the lane-wave
+    kernel geometry were deleted in round 4 after losing every A/B since
+    round 3; align_segments survives as the oracle for
+    tests/test_binning_aligned.py.)"""
 
     def test_undersized_capacity_still_matches_scan(self):
-        # Clamped segments (max_hits small): the align copy must honor the
-        # clamp, not the raw sort runs.
         cfg = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
                            pair_capacity=4096, max_hits_per_tile=16)
         params = make_params(120, seed=9, opac=(3.0, 8.0))
@@ -275,38 +236,6 @@ class TestEwaveKnob:
 
         def loss(p, c):
             return jnp.sum(run(p, c, cfg=CFG32).color ** 2)
-
-        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
-        gs = jax.grad(lambda p: loss(p, "scan"))(params)
-        for k in params:
-            a, b = np.asarray(gp[k]), np.asarray(gs[k])
-            scale = np.abs(b).max() + 1e-12
-            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
-
-
-class TestLaneGeometry:
-    """The lane-wave kernel geometry (pixels on sublanes, 128-entry lane
-    waves — the round-1/2 kernels) is kept for A/B via
-    TPUGS_KERNEL_GEOMETRY=lane; this pins its forward + gradient parity so
-    the alternate path cannot rot untested (VERDICT r3)."""
-
-    def test_lane_forward_and_grads_match_scan(self, monkeypatch):
-        from tpugs.ops.pallas import composite as comp
-
-        monkeypatch.setattr(comp, "KERNEL_GEOMETRY", "lane")
-        params = make_params(60, seed=12)
-        op = run(params, "pallas", cfg=CFG32)
-        os_ = run(params, "scan", cfg=CFG32)
-        np.testing.assert_allclose(
-            np.asarray(op.color), np.asarray(os_.color), atol=1e-5
-        )
-        np.testing.assert_array_equal(
-            np.asarray(op.n_contrib), np.asarray(os_.n_contrib)
-        )
-
-        def loss(p, c):
-            out = run(p, c, cfg=CFG32)
-            return jnp.sum(out.color ** 2) + jnp.sum(out.final_T)
 
         gp = jax.grad(lambda p: loss(p, "pallas"))(params)
         gs = jax.grad(lambda p: loss(p, "scan"))(params)

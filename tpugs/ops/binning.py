@@ -59,7 +59,7 @@ class BinningResult:
     # Compact-sorted compositor attributes (bin_gaussians_expand_kernel with
     # carry_attrs=True only): [11, P] f32 in pack.pack_compact_attrs row
     # order (x y ca cb cc op r g b gid valid) — streamed sequentially by the
-    # expand kernel and sorted as free payload, replacing the latency-bound
+    # expand kernel and sorted as payload, replacing the latency-bound
     # [P]-row pack gather.
     attr_c: jnp.ndarray | None = None
 

@@ -99,9 +99,7 @@ def render(
     per 2.4M pairs (scripts/bench_sort_payload.py, r4 fixed probe — the r3
     "free payloads" probe was DCE'd), and with the pack gather sliced to the
     capacity prefix the gather wins at BOTH measured scales (viewer 1080p/1M
-    68.9 vs 71.7 ms; train bench 201.7x vs 192.9x). Kept as an A/B knob.
-    Only the align-copy kernel consumes the carried rows, so this is forced
-    off when TPUGS_ALIGN_KERNEL=0."""
+    68.9 vs 71.7 ms; train bench 201.7x vs 192.9x). Kept as an A/B knob."""
     if presort == "auto":
         presort = "exact" if means.shape[0] <= (1 << 18) else False
     elif presort == "fastest":
@@ -148,7 +146,7 @@ def render(
         # sequential chunk writes + one-hot MXU ownership. Same sorted
         # segments bit-for-bit (tests/test_expand_pallas.py).
         from tpugs.ops.binning import bin_gaussians_expand_kernel
-        from tpugs.ops.pallas.composite import ALIGN_KERNEL, _interpret
+        from tpugs.ops.pallas.composite import _interpret
 
         # carry_attrs: the expand kernel streams the 9 compositor attribute
         # rows sequentially (the expansion is gaussian-major) and the pair
@@ -160,7 +158,7 @@ def render(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
             presorted=bool(presort), reduce_meta=need_grads,
-            carry_attrs=carry_attrs and ALIGN_KERNEL,
+            carry_attrs=carry_attrs,
             quant_key_bits=quant_key_bits,
         )
     else:

@@ -45,7 +45,7 @@ from tpugs.ops.projection import project_gaussians
 from tpugs.ops.rasterize_tiled import RasterConfig, tiles_to_image
 
 # Static per-pair row layout of FrameCache.static_attr ([pack.ATTR_ROWS=16,
-# P_aligned], aligned layout, gap lanes zero):
+# P_aligned], lane-major aligned layout, gap lanes zero):
 #   0-2   world mean x y z
 #   3-8   cov3d components c00 c01 c02 c11 c12 c22
 #   9     activated opacity (0 for dead slots)
@@ -138,7 +138,7 @@ def render_cached(
     Everything here is [P_aligned]-elementwise (one VPU loop fusion) — the
     same screen-space math as project_gaussians/pack_compact_attrs, computed
     per PAIR from the cached static table instead of per gaussian + gather."""
-    from tpugs.ops.pallas.composite import _interpret, _kernel_impls
+    from tpugs.ops.pallas.composite import _fwd_impl, _interpret
 
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     W = viewmat[:3, :3]
@@ -172,8 +172,7 @@ def render_cached(
     )
     attr = jnp.pad(attr, ((0, s.shape[0] - attr.shape[0]), (0, 0)))
 
-    fwd_impl, _ = _kernel_impls()
-    color_t, t_t, _nc, _kl = fwd_impl(
+    color_t, t_t, _nc, _kl = _fwd_impl(
         cfg, cache.astart, cache.astop, attr, 0, interpret=_interpret()
     )
     bg = jnp.asarray(background, jnp.float32)
