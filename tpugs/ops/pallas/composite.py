@@ -409,20 +409,14 @@ def _segred_bwd(cfg, res, cot):
     _, a_e = jax.lax.sort((exp_slot.astype(jnp.uint32), a_fold), num_keys=1)
     p_in = -(-p_out // SR.C) * SR.C + SR.C
     a_e = jnp.pad(a_e, (0, p_in - p_out), constant_values=zero_idx)
-    # Gather ONLY the ROWS meaningful lanes and hand segreduce the
-    # transposed [ROWS, p_in] layout: XLA assigns the gather output the
-    # dense {0,1} layout (slots on lanes, same formulation as the forward
-    # pack gather — 6.2 ns/row) and the .T into the kernel operand is a
-    # layout no-op; gathering full [p_in, 128] rows moved 512 B/row at
-    # 12.1 ns/row (35.8 ms of the 152 ms garden step, docs/PERF_NOTES r4).
     gathered = jnp.where(
         (a_e < p_al)[:, None],
-        d_rows[jnp.minimum(a_e, p_al - 1), :SR.ROWS],
+        d_rows[jnp.minimum(a_e, p_al - 1)],
         0.0,
-    )  # [p_in, ROWS] gid-major gradient rows
+    )  # [p_in, IN_LANES] gid-major gradient rows
 
     acc16 = SR.segment_reduce_pallas(
-        gathered.T, red_start, red_count, exp_end, interpret=_interpret()
+        gathered, red_start, red_count, exp_end, interpret=_interpret()
     )  # [ATTR_ROWS, n_pad]
     acc = acc16[:NUM_ATTR, :n].T  # [n, 9]
 

@@ -43,14 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 W = 512  # gaussians per grid step (multiple of 128; sets matmul width)
 C = 512  # expansion slots per inner DMA/compute chunk
 ROWS = 16  # gradient rows per pair (pack.ATTR_ROWS layout)
+IN_LANES = 128  # input row width: ROWS padded to one lane tile (a [p, 16]
+#                f32 array is physically 128-lane padded anyway, so the
+#                logical pad is free and Mosaic can DMA whole rows)
 IN_ALIGN = 128  # slot-offset floor for the chunk DMA
 
 
 def _segreduce_kernel(r0s_ref, ks_ref,  # scalar prefetch [nb]
                       estart_ref, ecount_ref,  # [1, W] blocks
-                      rows_hbm,  # [ROWS, p_in] ANY (slots on lanes)
+                      rows_hbm,  # [p_in, ROWS] ANY
                       out_ref,  # [ROWS, W] block
-                      in_buf,  # VMEM (2, ROWS, C)
+                      in_buf,  # VMEM (2, C, ROWS)
                       sems):  # DMA (2,)
     b = pl.program_id(0)
     r0 = r0s_ref[b]
@@ -60,7 +63,7 @@ def _segreduce_kernel(r0s_ref, ks_ref,  # scalar prefetch [nb]
 
     def dma(slot, i):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(pl.multiple_of(r0 + i * C, IN_ALIGN), C)],
+            rows_hbm.at[pl.ds(pl.multiple_of(r0 + i * C, IN_ALIGN), C), :],
             in_buf.at[slot],
             sems.at[slot],
         )
@@ -77,16 +80,16 @@ def _segreduce_kernel(r0s_ref, ks_ref,  # scalar prefetch [nb]
             dma((i + 1) % 2, i + 1).start()
 
         dma(slot, i).wait()
-        chunk = in_buf[slot]  # [ROWS, C]
+        chunk = in_buf[slot][:, :ROWS]  # [C, ROWS]
         s = (r0 + i * C
              + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
              ).astype(jnp.float32)
         oh = ((es <= s) & (s < es + ec)).astype(jnp.float32)  # [C, W]
-        # Contract the slot dim (chunk lanes x one-hot sublanes) on the MXU.
+        # Contract the slot (sublane) dim of both operands on the MXU.
         # HIGHEST is load-bearing: default f32 matmul truncates operands to
         # bf16; one-hot x f32 under the 3-pass emulation is an exact sum.
         part = jax.lax.dot_general(
-            chunk, oh, (((1,), (0,)), ((), ())),
+            chunk, oh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [ROWS, W]
@@ -96,18 +99,13 @@ def _segreduce_kernel(r0s_ref, ks_ref,  # scalar prefetch [nb]
     out_ref[...] = acc
 
 
-def segment_reduce_pallas(rows_t, estart, ecount, end_slot,
+def segment_reduce_pallas(rows, estart, ecount, end_slot,
                           interpret: bool = False):
-    """Sum gradient rows over monotone contiguous segments.
+    """Sum `rows` over monotone contiguous segments.
 
-    rows_t [ROWS, p_in] f32: per-slot gradient rows TRANSPOSED (attributes
-      on sublanes, expansion slots on lanes — the dense physical layout;
-      the producer's [p_in, ROWS]{0,1} gather output bitcasts into it for
-      free, where a [p_in, ROWS]{1,0} array would lane-pad 8x and the old
-      [p_in, 128] row-major contract made the re-order gather move 512 B
-      rows, 12.1 vs 6.2 ns/row at garden scale — docs/PERF_NOTES.md r4).
-      Slots are in expansion (gid-major) order; p_in must be a multiple of
-      C with >= C slack past `end_slot` (slack slots are read but match no
+    rows [p_in, IN_LANES] f32: per-slot gradient rows (first ROWS columns
+      used) in expansion (gid-major) order; p_in must be a multiple of C
+      with >= C slack past `end_slot` (slack rows are read but match no
       interval).
     estart/ecount [n_pad] i32: per-gaussian slot interval; estart must be
       non-decreasing and intervals non-overlapping in order.
@@ -116,8 +114,8 @@ def segment_reduce_pallas(rows_t, estart, ecount, end_slot,
 
     Returns [ROWS, n_pad] f32 per-gaussian sums (empty intervals -> 0).
     """
-    rows_dim, p_in = rows_t.shape
-    assert rows_dim == ROWS and p_in % C == 0
+    p_in, rows_dim = rows.shape
+    assert rows_dim == IN_LANES and p_in % C == 0
     n_pad = estart.shape[0]
     n_w = -(-n_pad // W) * W
     nb = n_w // W
@@ -152,7 +150,7 @@ def segment_reduce_pallas(rows_t, estart, ecount, end_slot,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, C), jnp.float32),
+            pltpu.VMEM((2, C, IN_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -162,5 +160,5 @@ def segment_reduce_pallas(rows_t, estart, ecount, end_slot,
         out_shape=[jax.ShapeDtypeStruct((ROWS, n_w), jnp.float32)],
         interpret=interpret,
     )(r0s.astype(jnp.int32), ks.astype(jnp.int32),
-      estart_w.reshape(nb, 1, W), ecount_w.reshape(nb, 1, W), rows_t)
+      estart_w.reshape(nb, 1, W), ecount_w.reshape(nb, 1, W), rows)
     return out[:, :n_pad]
