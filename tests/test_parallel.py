@@ -198,8 +198,9 @@ def _tile_shard_forward(mesh, params, alive, viewmat, intr, compositor="scan",
     return jax.jit(mapped)(params, alive)
 
 
-def _tile_shard_grads(mesh, params, alive, images, viewmats, intr,
-                      compositor="scan"):
+def _tile_shard_grads_fn(mesh, compositor="scan"):
+    """Jitted shard_map'd raw-gradient fn (returned unexecuted so tests can
+    also .lower() it for HLO inspection)."""
     from jax.sharding import PartitionSpec as P
 
     from tpugs.ops.projection import project_gaussians
@@ -231,14 +232,21 @@ def _tile_shard_grads(mesh, params, alive, images, viewmats, intr,
         grads = jax.tree.map(lambda t: jax.lax.pmean(t, "data") / g, grads)
         return grads, loss
 
-    gspec = {k: P("gauss") for k in params}
+    gspec = {k: P("gauss") for k in
+             ["means", "quats", "log_scales", "opacity_logits", "sh"]}
     mapped = jax.shard_map(
         impl, mesh=mesh,
         in_specs=(gspec, P("gauss"), P("data"), P("data"), P("data")),
         out_specs=(gspec, P()),
         check_vma=False,
     )
-    return jax.jit(mapped)(params, alive, images, viewmats, intr)
+    return jax.jit(mapped)
+
+
+def _tile_shard_grads(mesh, params, alive, images, viewmats, intr,
+                      compositor="scan"):
+    fn = _tile_shard_grads_fn(mesh, compositor)
+    return fn(params, alive, images, viewmats, intr)
 
 
 class TestTileSharded:
@@ -349,3 +357,46 @@ class TestTileSharded:
             mesh, params, alive, viewmats[0], intr[0], send_capacity=1
         )
         assert bool(diag["send_overflow"])
+
+    def test_pallas_grad_parity(self, scene):
+        """Raw gradients through the pallas compositor + segment-sum backward
+        (composite_tiles_pallas_segred) match the single-device reference —
+        the distributed path must not drift when it routes the pair->row
+        reduction through ops/pallas/segreduce.py (VERDICT r4 item 4)."""
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        b = 2
+        sh_grads, loss = _tile_shard_grads(
+            mesh, params, alive, images[:b], viewmats[:b], intr[:b],
+            compositor="pallas",
+        )
+        ref_loss, ref_grads = reference_grads(
+            params, alive, images[:b], viewmats[:b], intr[:b]
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(sh_grads[k]), np.asarray(ref_grads[k]),
+                rtol=2e-5, atol=1e-8, err_msg=k,
+            )
+
+    def test_pallas_backward_has_no_pair_scatter(self, scene):
+        """The distributed backward must contain NO pair->gauss scatter-add:
+        the old composite_tiles_pallas VJP reduced pair gradient rows with
+        an f32[*,9] XLA scatter (225 ms of a 336 ms garden step,
+        docs/PERF_NOTES.md r3); the segred path replaces it with interval
+        one-hot MXU matmuls. Checked on the optimized CPU-mesh HLO."""
+        import re
+
+        params, alive, images, viewmats, intr = scene
+        mesh = make_mesh(axis_sizes=(2, 4))
+        b = 2
+        fn = _tile_shard_grads_fn(mesh, compositor="pallas")
+        hlo = fn.lower(
+            params, alive, images[:b], viewmats[:b], intr[:b]
+        ).compile().as_text()
+        bad = [
+            ln for ln in hlo.splitlines()
+            if " scatter(" in ln and re.search(r"f32\[\d+,9\]", ln)
+        ]
+        assert not bad, f"pair->gauss scatter survived: {bad[:3]}"

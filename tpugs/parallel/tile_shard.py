@@ -25,7 +25,12 @@ Per device, per frame:
 Backward rides autodiff: the all_to_all transposes to the reverse all_to_all
 (pair-gradient return to the owning shard), the send-gather transposes to a
 local segment-sum, and the color all_gather transposes to a reduce-scatter of
-the image cotangent. Gradients from the d view rows are psum-combined over
+the image cotangent. On the pallas path the pair->working-set-row reduction
+inside the compositor VJP is the segment-sum kernel
+(composite_tiles_pallas_segred / ops/pallas/segreduce.py), NOT the XLA
+scatter-add — the same replacement that was the single largest single-chip
+backward win (docs/PERF_NOTES.md r3); tests/test_parallel.py pins that no
+f32[*,9] scatter survives in the distributed backward HLO. Gradients from the d view rows are psum-combined over
 "data"; the raw shard_map gradient is d(sum of all device losses)/dx — with
 the loss replicated inside each gauss group it carries a factor g x d that is
 normalized out explicitly in make_tile_sharded_train_step
@@ -162,12 +167,14 @@ def exchange_and_render_local(
     background,
     compositor: str,
     axis_name: str = "gauss",
+    need_grads: bool = True,
 ):
     """The tile-shard core, called INSIDE shard_map: exchange screen attrs to
     the tile-owning devices, bin + composite the local tile slice.
 
     Returns (color_tiles [T_loc, pix, 3], diag dict). Fully differentiable
-    w.r.t. proj's float fields."""
+    w.r.t. proj's float fields. need_grads=False (forward-only callers)
+    skips the segment-sum reduction metadata, like render(need_grads=False)."""
     my = jax.lax.axis_index(axis_name)
     rpd = rows_per_device(raster, g)
     row_lo = my * rpd
@@ -203,23 +210,40 @@ def exchange_and_render_local(
         from tpugs.ops.pallas.composite import (
             _interpret,
             composite_tiles_pallas,
+            composite_tiles_pallas_segred,
         )
 
         # carry_attrs off: the sliced pack gather beats sort payloads at
         # every measured pair count (docs/PERF_NOTES.md r4 A/B).
+        # reduce_meta on: the distributed backward reduces pair gradients to
+        # working-set rows through the segment-sum kernel
+        # (ops/pallas/segreduce.py) like the single-device path, not the XLA
+        # pair->gauss scatter-add it replaced (225 ms of a 336 ms garden
+        # step, docs/PERF_NOTES.md r3; VERDICT r4 item 4). The metadata is
+        # slice-local by construction: counts/offsets come from the
+        # row-clipped rects and exp_slot rides the slice-localized sort.
         binning = bin_gaussians_expand_kernel(
             work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
             local_cfg.pair_capacity, interpret=_interpret(), presorted=True,
-            tile_row_lo=row_lo, num_tile_rows=rpd,
+            reduce_meta=need_grads, tile_row_lo=row_lo, num_tile_rows=rpd,
         )
         binning, max_tile_hits = clamp_tile_segments(
             binning, local_cfg.max_hits_per_tile
         )
-        color_t, final_t, nc_t = composite_tiles_pallas(
-            local_cfg, binning.tile_start, binning.tile_stop,
-            binning.pair_gauss, work.means2d, work.conic, work.rgb,
-            work.opac, background, row_lo, attr_c=binning.attr_c,
-        )
+        if need_grads:
+            color_t, final_t, nc_t = composite_tiles_pallas_segred(
+                local_cfg, binning.tile_start, binning.tile_stop,
+                binning.pair_gauss, binning.pair_tile, binning.exp_slot,
+                binning.red_start, binning.red_count, binning.exp_end,
+                work.means2d, work.conic, work.rgb,
+                work.opac, background, row_lo, attr_c=binning.attr_c,
+            )
+        else:
+            color_t, final_t, nc_t = composite_tiles_pallas(
+                local_cfg, binning.tile_start, binning.tile_stop,
+                binning.pair_gauss, work.means2d, work.conic, work.rgb,
+                work.opac, background, row_lo, attr_c=binning.attr_c,
+            )
     else:
         binning = bin_gaussians(
             work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
