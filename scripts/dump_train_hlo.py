@@ -3,6 +3,7 @@ lines of named ops (to identify what xprof's top fusions ARE).
 
   python scripts/dump_train_hlo.py fusion.281 transpose_jvp___.18 ...
 """
+import re
 import sys
 
 import jax
@@ -68,5 +69,9 @@ for i, ln in enumerate(lines):
         # definition line: "%fusion.281 = ..." or "fusion.281 = ..."
         if s.startswith(f"%{w} ") or s.startswith(f"{w} "):
             print(ln[:500])
-            # for fusions, also print the computation name so we can grep it
+            # for fusions, also print the fused computation's name (the
+            # calls= operand) so it can be grepped in the full dump
+            m = re.search(r"calls=(%?[\w.\-]+)", ln)
+            if m:
+                print(f"  -> fused computation: {m.group(1)}")
             break
