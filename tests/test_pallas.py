@@ -243,3 +243,54 @@ class TestEwaveKnob:
             a, b = np.asarray(gp[k]), np.asarray(gs[k])
             scale = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+
+class TestSortedSegred:
+    """The sorted-key reduction variant (segreduce.segment_reduce_sorted_
+    pallas, used above composite._SORTED_SEGRED_MIN aligned slots) must
+    produce the same gradients as the scan compositor — forced on at toy
+    shapes by zeroing the threshold."""
+
+    def test_grads_match_scan(self, monkeypatch):
+        from tpugs.ops.pallas import composite as cp
+
+        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", 0)
+        params = make_params(60, seed=21)
+        rng = np.random.default_rng(22)
+        target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+        def loss(p, comp):
+            out = run(p, comp)
+            return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(
+                out.final_T
+            )
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+    def test_grads_match_saturated_clamped(self, monkeypatch):
+        """Saturated scene + tight hit cap: front-K-clamped entries must be
+        excluded from the sorted-key reduction exactly as the classic
+        path's expansion-domain masking excludes them."""
+        from tpugs.ops.pallas import composite as cp
+
+        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", 0)
+        params = make_params(60, seed=23, opac=(4.0, 12.0))
+        cfg = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
+                           pair_capacity=CFG.pair_capacity,
+                           max_hits_per_tile=24)
+
+        def loss(p, comp):
+            out = run(p, comp, cfg=cfg)
+            return jnp.sum(out.color ** 2)
+
+        gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+        gs = jax.grad(lambda p: loss(p, "scan"))(params)
+        for k in params:
+            a, b = np.asarray(gp[k]), np.asarray(gs[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)

@@ -52,6 +52,12 @@ from tpugs.ops.rasterize_tiled import RasterConfig
 ALIGN = 128  # per-tile segment alignment of the align_segments layout
 CHUNK = 512  # aligned-capacity granularity (pack.CHUNK)
 
+# Aligned-slot count above which the segred backward uses the sorted-key
+# reduction (segreduce.segment_reduce_sorted_pallas) instead of the classic
+# inversion-sort + row-gather path; threshold derived from the r5 TPU A/B
+# (tests override to force each path at toy shapes).
+_SORTED_SEGRED_MIN = 1 << 19
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -385,39 +391,66 @@ def _segred_bwd(cfg, res, cot):
         cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
     )  # [P_aligned, OUT_LANES] — already segreduce's IN_LANES row width
 
-    # Re-order the per-pair gradient rows into the gaussian-major expansion
-    # domain: (1) each sorted pair's aligned position is elementwise
-    # (astart[tile] + rank within tile, valid iff inside the CLAMPED stop);
-    # (2) one u32 sort keyed on the expansion slot inverts the pair sort.
-    # Gap/culled/clamped/sentinel slots fold to the out-of-range marker and
-    # are masked to zero in the gather (rows past each tile's chunked range
-    # are unwritten kernel output — never read unmasked).
-    i32 = jnp.int32
     p_al = attr.shape[1]
-    zero_idx = p_al
-    p_out = pair_tile.shape[0]
-    tbl = jnp.concatenate(
-        [jnp.stack([tile_start, tile_stop, astart], axis=1),
-         jnp.zeros((1, 3), i32)],
-        axis=0,
-    )  # [num_tiles + 1, 3] — one row-table gather for all three lookups
-    rowsT = tbl[jnp.minimum(pair_tile, cfg.num_tiles)]
-    s_iota = jnp.arange(p_out, dtype=i32)
-    a_s = rowsT[:, 2] + (s_iota - rowsT[:, 0])
-    valid = (s_iota < rowsT[:, 1]) & (pair_tile < cfg.num_tiles)
-    a_fold = jnp.where(valid, a_s, zero_idx)
-    _, a_e = jax.lax.sort((exp_slot.astype(jnp.uint32), a_fold), num_keys=1)
-    p_in = -(-p_out // SR.C) * SR.C + SR.C
-    a_e = jnp.pad(a_e, (0, p_in - p_out), constant_values=zero_idx)
-    gathered = jnp.where(
-        (a_e < p_al)[:, None],
-        d_rows[jnp.minimum(a_e, p_al - 1)],
-        0.0,
-    )  # [p_in, IN_LANES] gid-major gradient rows
+    if p_al >= _SORTED_SEGRED_MIN:
+        # Sorted-key reduction (r5): no re-order gather at all — the gather
+        # is latency-bound (~13 ns/row, 35.8 ms of the 151.7 ms garden step)
+        # and un-narrowable (sub-128-lane gathers lower to a serial
+        # dynamic-slice loop, the r4 50x regression). Sort the aligned
+        # domain by the gid that rides the attr rows, gradient columns as
+        # streaming payloads; summation order (ascending aligned = tile
+        # order within each gid, via the stable sort) matches the expansion
+        # domain's. Below the threshold the classic path wins: payload-sort
+        # cost scales with p while the removed gather is small there.
+        assert n < (1 << 24), "gid must stay f32-exact for the key sort"
+        valid = _avalid & (jnp.arange(p_al) < _astop[-1])
+        key = jnp.where(
+            valid, _aligned_gauss.astype(jnp.float32), SR.SENTINEL
+        )
+        # Mask BEFORE the sort: unwritten kernel rows may hold garbage/NaN
+        # and 0 * NaN in the reduction matmul would poison the output.
+        cols = tuple(
+            jnp.where(valid, d_rows[:, k], 0.0) for k in range(NUM_ATTR)
+        )
+        acc16 = SR.segment_reduce_sorted_pallas(
+            key, cols, n, interpret=_interpret()
+        )  # [ATTR_ROWS, n_pad]
+    else:
+        # Classic path: re-order the per-pair gradient rows into the
+        # gaussian-major expansion domain: (1) each sorted pair's aligned
+        # position is elementwise (astart[tile] + rank within tile, valid
+        # iff inside the CLAMPED stop); (2) one u32 sort keyed on the
+        # expansion slot inverts the pair sort. Gap/culled/clamped/sentinel
+        # slots fold to the out-of-range marker and are masked to zero in
+        # the gather (rows past each tile's chunked range are unwritten
+        # kernel output — never read unmasked).
+        i32 = jnp.int32
+        zero_idx = p_al
+        p_out = pair_tile.shape[0]
+        tbl = jnp.concatenate(
+            [jnp.stack([tile_start, tile_stop, astart], axis=1),
+             jnp.zeros((1, 3), i32)],
+            axis=0,
+        )  # [num_tiles + 1, 3] — one row-table gather for all three lookups
+        rowsT = tbl[jnp.minimum(pair_tile, cfg.num_tiles)]
+        s_iota = jnp.arange(p_out, dtype=i32)
+        a_s = rowsT[:, 2] + (s_iota - rowsT[:, 0])
+        valid = (s_iota < rowsT[:, 1]) & (pair_tile < cfg.num_tiles)
+        a_fold = jnp.where(valid, a_s, zero_idx)
+        _, a_e = jax.lax.sort(
+            (exp_slot.astype(jnp.uint32), a_fold), num_keys=1
+        )
+        p_in = -(-p_out // SR.C) * SR.C + SR.C
+        a_e = jnp.pad(a_e, (0, p_in - p_out), constant_values=zero_idx)
+        gathered = jnp.where(
+            (a_e < p_al)[:, None],
+            d_rows[jnp.minimum(a_e, p_al - 1)],
+            0.0,
+        )  # [p_in, IN_LANES] gid-major gradient rows
 
-    acc16 = SR.segment_reduce_pallas(
-        gathered, red_start, red_count, exp_end, interpret=_interpret()
-    )  # [ATTR_ROWS, n_pad]
+        acc16 = SR.segment_reduce_pallas(
+            gathered, red_start, red_count, exp_end, interpret=_interpret()
+        )  # [ATTR_ROWS, n_pad]
     acc = acc16[:NUM_ATTR, :n].T  # [n, 9]
 
     d_means2d = acc[:, 0:2]
