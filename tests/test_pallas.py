@@ -246,15 +246,17 @@ class TestEwaveKnob:
 
 
 class TestSortedSegred:
-    """The sorted-key reduction variant (segreduce.segment_reduce_sorted_
-    pallas, used above composite._SORTED_SEGRED_MIN aligned slots) must
-    produce the same gradients as the scan compositor — forced on at toy
-    shapes by zeroing the threshold."""
+    """Both segred reduction paths must produce the same gradients as the
+    scan compositor: the sorted-key variant (segreduce.segment_reduce_
+    sorted_pallas — the default, threshold 0) and the classic inversion-
+    sort + gather path (the automatic n >= 2^24 fallback, forced here by
+    raising the threshold so it keeps parity coverage)."""
 
-    def test_grads_match_scan(self, monkeypatch):
+    @pytest.mark.parametrize("threshold", [0, 1 << 62])
+    def test_grads_match_scan(self, monkeypatch, threshold):
         from tpugs.ops.pallas import composite as cp
 
-        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", 0)
+        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", threshold)
         params = make_params(60, seed=21)
         rng = np.random.default_rng(22)
         target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
@@ -272,13 +274,14 @@ class TestSortedSegred:
             scale = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
 
-    def test_grads_match_saturated_clamped(self, monkeypatch):
+    @pytest.mark.parametrize("threshold", [0, 1 << 62])
+    def test_grads_match_saturated_clamped(self, monkeypatch, threshold):
         """Saturated scene + tight hit cap: front-K-clamped entries must be
-        excluded from the sorted-key reduction exactly as the classic
-        path's expansion-domain masking excludes them."""
+        excluded from the reduction exactly as the forward excludes them —
+        on both paths (sorted-key masking / expansion-domain masking)."""
         from tpugs.ops.pallas import composite as cp
 
-        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", 0)
+        monkeypatch.setattr(cp, "_SORTED_SEGRED_MIN", threshold)
         params = make_params(60, seed=23, opac=(4.0, 12.0))
         cfg = RasterConfig(img_h=H, img_w=W, tile_h=16, tile_w=16,
                            pair_capacity=CFG.pair_capacity,

@@ -54,9 +54,15 @@ CHUNK = 512  # aligned-capacity granularity (pack.CHUNK)
 
 # Aligned-slot count above which the segred backward uses the sorted-key
 # reduction (segreduce.segment_reduce_sorted_pallas) instead of the classic
-# inversion-sort + row-gather path; threshold derived from the r5 TPU A/B
-# (tests override to force each path at toy shapes).
-_SORTED_SEGRED_MIN = 1 << 19
+# inversion-sort + row-gather path. Default 0 — with the transposed kernel
+# emit the sorted path wins at BOTH bench scales (r5 TPU A/B: 13.14 vs
+# 11.74 Mpix/s at 50k, garden 7.39 -> see PERF_NOTES); the classic path
+# remains the automatic fallback for capacities past f32-exact gids
+# (n >= 2^24) and keeps parity coverage via a test override. The env var
+# is a measurement knob for re-running the A/B on real hardware.
+_SORTED_SEGRED_MIN = int(
+    __import__("os").environ.get("TPUGS_SORTED_SEGRED_MIN", "0")
+)
 
 
 def _interpret() -> bool:
@@ -131,16 +137,18 @@ def _fwd_impl(*args, **kw):
 
 
 def _bwd_entry_rows(cfg, astart, astop, attr, d_color, r0, final_t, kl,
-                    row_offset):
-    """Entry-major per-pair gradient rows [P_aligned, OUT_LANES] from the
-    backward kernel (its native layout — composite_t.OUT_LANES rationale;
-    first NUM_ATTR lanes are the gradients, rows past each tile's chunked
-    range are unwritten and must be masked by the consumer)."""
+                    row_offset, transposed_out: bool = False):
+    """Per-pair gradient rows from the backward kernel: entry-major
+    [P_aligned, OUT_LANES] (default; first NUM_ATTR lanes are the
+    gradients) or attr-major [OUT_ROWS, P_aligned] (transposed_out; each
+    gradient a contiguous row — the sorted-key reduction's input). Slots
+    past each tile's chunked range are unwritten and must be masked by the
+    consumer. Layout rationale: composite_t.OUT_LANES / OUT_ROWS."""
     from tpugs.ops.pallas import composite_t
 
     return composite_t.composite_backward_pallas(
         cfg, astart, astop, attr, d_color, r0, final_t, kl, row_offset,
-        interpret=_interpret(),
+        interpret=_interpret(), transposed_out=transposed_out,
     )
 
 
@@ -387,12 +395,8 @@ def _segred_bwd(cfg, res, cot):
     dc_dot_bg = jnp.einsum("tpc,c->tp", d_color, background)
     r0 = (dc_dot_bg + d_finalT) * final_t
 
-    d_rows = _bwd_entry_rows(
-        cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
-    )  # [P_aligned, OUT_LANES] — already segreduce's IN_LANES row width
-
     p_al = attr.shape[1]
-    if p_al >= _SORTED_SEGRED_MIN:
+    if p_al >= _SORTED_SEGRED_MIN and n < (1 << 24):
         # Sorted-key reduction (r5): no re-order gather at all — the gather
         # is latency-bound (~13 ns/row, 35.8 ms of the 151.7 ms garden step)
         # and un-narrowable (sub-128-lane gathers lower to a serial
@@ -400,22 +404,28 @@ def _segred_bwd(cfg, res, cot):
         # domain by the gid that rides the attr rows, gradient columns as
         # streaming payloads; summation order (ascending aligned = tile
         # order within each gid, via the stable sort) matches the expansion
-        # domain's. Below the threshold the classic path wins: payload-sort
-        # cost scales with p while the removed gather is small there.
-        assert n < (1 << 24), "gid must stay f32-exact for the key sort"
+        # domain's. n >= 2^24 falls back to the classic path (gids must
+        # stay f32-exact for the key sort).
+        d_rows_t = _bwd_entry_rows(
+            cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
+            transposed_out=True,
+        )  # [OUT_ROWS, P_aligned] — each gradient a contiguous row
         valid = _avalid & (jnp.arange(p_al) < _astop[-1])
         key = jnp.where(
             valid, _aligned_gauss.astype(jnp.float32), SR.SENTINEL
         )
-        # Mask BEFORE the sort: unwritten kernel rows may hold garbage/NaN
+        # Mask BEFORE the sort: unwritten kernel slots may hold garbage/NaN
         # and 0 * NaN in the reduction matmul would poison the output.
         cols = tuple(
-            jnp.where(valid, d_rows[:, k], 0.0) for k in range(NUM_ATTR)
+            jnp.where(valid, d_rows_t[k], 0.0) for k in range(NUM_ATTR)
         )
         acc16 = SR.segment_reduce_sorted_pallas(
             key, cols, n, interpret=_interpret()
         )  # [ATTR_ROWS, n_pad]
     else:
+        d_rows = _bwd_entry_rows(
+            cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
+        )  # [P_aligned, OUT_LANES] — already segreduce's IN_LANES row width
         # Classic path: re-order the per-pair gradient rows into the
         # gaussian-major expansion domain: (1) each sorted pair's aligned
         # position is elementwise (astart[tile] + rank within tile, valid

@@ -79,6 +79,16 @@ OUT_LANES = 128  # backward-output row width: NUM_ATTR gradient lanes padded
 #                  XLA relayout-transpose + lane pad outside the kernel
 #                  (1.62 + 0.44 ms of the 8.9 ms 50k train step, r4 xprof)
 #                  plus GSUB in-kernel transposes per group.
+OUT_ROWS = ATTR_ROWS  # transposed_out mode: the backward emits ATTR-MAJOR
+#                  [OUT_ROWS, P_pad] instead — each gradient a CONTIGUOUS
+#                  [P_pad] row, the layout the sorted-key reduction's column
+#                  sort consumes with free row slices. Extracting those
+#                  columns from the [P_pad, 128] layout instead cost 9
+#                  full-array read fusions + an XLA relayout (~45 ms of the
+#                  141 ms garden step, r5 xprof). The price in-kernel is one
+#                  (EWAVE, 16) -> (16, EWAVE) transpose per sub-wave (the
+#                  exact mirror of the input transpose both kernels already
+#                  do) and an 8x SMALLER output DMA + VMEM footprint.
 
 
 def _sub_shift_down_fill(m, s, fill):
@@ -324,14 +334,14 @@ def composite_forward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_at
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cfg: RasterConfig,
+def _bwd_kernel(cfg: RasterConfig, transposed: bool,
                 tile_start_ref, tile_stop_ref, rowoff_ref,  # scalar prefetch
                 attr_hbm,  # [ATTR_ROWS, P_pad] ANY
                 dcr_ref, dcg_ref, dcb_ref,  # (1, PIX) incoming color cotangent
                 r0_ref,  # (1, PIX) scalar suffix init (bg + d_finalT terms)
                 ft_ref,  # (1, PIX) final transmittance
                 kl_ref,  # (1, PIX) last contributor index
-                dattr_hbm,  # out [ATTR_ROWS, P_pad] ANY
+                dattr_hbm,  # out [P_pad, OUT_LANES] / [OUT_ROWS, P_pad] ANY
                 in_buf, out_buf, in_sems, out_sems):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -355,11 +365,12 @@ def _bwd_kernel(cfg: RasterConfig,
         )
 
     def dma_out(slot, chunk_idx):
-        return pltpu.make_async_copy(
-            out_buf.at[slot],
-            dattr_hbm.at[pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK), :],
-            out_sems.at[slot],
+        dst = (
+            dattr_hbm.at[:, pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK)]
+            if transposed
+            else dattr_hbm.at[pl.ds(pl.multiple_of(start + chunk_idx * CHUNK, ALIGN), CHUNK), :]
         )
+        return pltpu.make_async_copy(out_buf.at[slot], dst, out_sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -382,7 +393,10 @@ def _bwd_kernel(cfg: RasterConfig,
         # Zero-fill once; the group loop writes only ACTIVE groups (groups
         # whose entries are all past every pixel's last contributor produce
         # zero grads and unchanged T/R, so they are skipped wholesale).
-        out_buf[slot, :, :] = jnp.zeros((CHUNK, OUT_LANES), jnp.float32)
+        if transposed:
+            out_buf[slot, :, :] = jnp.zeros((OUT_ROWS, CHUNK), jnp.float32)
+        else:
+            out_buf[slot, :, :] = jnp.zeros((CHUNK, OUT_LANES), jnp.float32)
 
         gpc_ = CHUNK // GROUP
         n_active = jnp.clip((max_kl - c * CHUNK) // GROUP + 1, 0, gpc_)
@@ -435,9 +449,12 @@ def _bwd_kernel(cfg: RasterConfig,
                 def rsum(x):
                     return jnp.sum(x, axis=1, keepdims=True)  # (EWAVE, 1)
 
-                # Entry-major (EWAVE, OUT_LANES) rows — no transpose: the
-                # (EWAVE, 1) reductions already have entries on sublanes.
-                pieces[j] = jnp.concatenate(
+                # Entry-major (EWAVE, width) rows — the (EWAVE, 1)
+                # reductions already have entries on sublanes. transposed
+                # mode pads only to OUT_ROWS and flips to attr-major
+                # (OUT_ROWS, EWAVE) — the mirror of the input transpose.
+                width = OUT_ROWS if transposed else OUT_LANES
+                grads = jnp.concatenate(
                     [
                         -rsum(g_dx),  # d mean_x
                         -rsum(g_dy),  # d mean_y
@@ -448,17 +465,23 @@ def _bwd_kernel(cfg: RasterConfig,
                         rsum(w_px * dcr),  # d r
                         rsum(w_px * dcg),  # d g
                         rsum(w_px * dcb),  # d b
-                        jnp.zeros((EWAVE, OUT_LANES - NUM_ATTR), jnp.float32),
+                        jnp.zeros((EWAVE, width - NUM_ATTR), jnp.float32),
                     ],
                     axis=1,
-                )  # (EWAVE, OUT_LANES)
+                )  # (EWAVE, width)
+                pieces[j] = jnp.transpose(grads) if transposed else grads
 
                 Th = Th / sp[0:1, :]  # whole-sub-wave transmittance peel
                 Rh = Rh + s_incl[0:1, :]
 
-            out_buf[slot, pl.ds(pl.multiple_of(base_g, GROUP), GROUP), :] = (
-                jnp.concatenate(pieces, axis=0)
-            )
+            if transposed:
+                out_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)] = (
+                    jnp.concatenate(pieces, axis=1)
+                )
+            else:
+                out_buf[slot, pl.ds(pl.multiple_of(base_g, GROUP), GROUP), :] = (
+                    jnp.concatenate(pieces, axis=0)
+                )
             return Th, Rh
 
         T_run, R = jax.lax.fori_loop(0, n_active, group_grads, (T_run, R))
@@ -480,11 +503,15 @@ def _bwd_kernel(cfg: RasterConfig,
 
 def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_attr,
                               d_color_t, r0, final_t, k_last, row_offset=0,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              transposed_out: bool = False):
     """Run the backward kernel. d_color_t [T, PIX, 3]; returns ENTRY-MAJOR
-    per-pair gradient rows [P_pad, OUT_LANES] (first NUM_ATTR lanes; rows
-    past each tile's chunked range are UNWRITTEN — consumers mask on
-    validity, composite._pallas_bwd / _segred_bwd)."""
+    per-pair gradient rows [P_pad, OUT_LANES] (first NUM_ATTR lanes), or
+    with transposed_out ATTR-MAJOR [OUT_ROWS, P_pad] (first NUM_ATTR rows,
+    each a contiguous [P_pad] gradient column — the sorted-key reduction's
+    input). Slots past each tile's chunked range are UNWRITTEN in both
+    layouts — consumers mask on validity (composite._pallas_bwd /
+    _segred_bwd)."""
     num_tiles, pix = cfg.num_tiles, cfg.pix
     p_pad = sorted_attr.shape[1]
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape((1,))
@@ -507,16 +534,23 @@ def composite_backward_pallas(cfg: RasterConfig, tile_start, tile_stop, sorted_a
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CHUNK, OUT_LANES), jnp.float32),
+            pltpu.VMEM(
+                (2, OUT_ROWS, CHUNK) if transposed_out
+                else (2, CHUNK, OUT_LANES),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     exp = lambda a: a[:, None, :]  # [T, PIX] -> [T, 1, PIX]
     (d_attr,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg),
+        functools.partial(_bwd_kernel, cfg, transposed_out),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((p_pad, OUT_LANES), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(
+            (OUT_ROWS, p_pad) if transposed_out else (p_pad, OUT_LANES),
+            jnp.float32,
+        )],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(

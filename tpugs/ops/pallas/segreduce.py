@@ -276,14 +276,14 @@ def segment_reduce_sorted_pallas(key, grad_cols, n_pad: int,
     ks = jnp.minimum(ks, (p_in - r0s) // C)
 
     pad = p_in - p_al
+    # Pad the 1-D columns BEFORE the stack (key pad = SENTINEL so tail
+    # slack matches no gaussian) — the stack of contiguous rows is then one
+    # concat, with no post-hoc full-array update.
     rows_t = jnp.stack(
-        list(scols)
-        + [skey]
-        + [jnp.zeros((p_al,), jnp.float32)] * (ROWS - NUM_ATTR - 1)
-    )  # [ROWS, p_al]: rows 0-8 grads, row KEY_ROW key, rest zero
-    rows_t = jnp.pad(rows_t, ((0, 0), (0, pad)))
-    # Padding slots got key 0.0 == gaussian 0: poison them with SENTINEL.
-    rows_t = rows_t.at[KEY_ROW, p_al:].set(SENTINEL)
+        [jnp.pad(c, (0, pad)) for c in scols]
+        + [jnp.pad(skey, (0, pad), constant_values=SENTINEL)]
+        + [jnp.zeros((p_in,), jnp.float32)] * (ROWS - NUM_ATTR - 1)
+    )  # [ROWS, p_in]: rows 0-8 grads, row KEY_ROW key, rest zero
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
