@@ -69,6 +69,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def segred_needs_meta(cfg: RasterConfig, n: int) -> bool:
+    """True when composite_tiles_pallas_segred's backward will take the
+    CLASSIC (inversion-sort + row-gather) reduction and therefore needs the
+    real expansion metadata (reduce_meta=True binning). The sorted-key path
+    — the default — never reads it, so callers skip building it: the
+    exp_slot sort payload alone is ~1.2 ms/M pairs (docs/PERF_NOTES.md).
+    Both operands of the predicate are static (shapes), so the decision is
+    trace-time and matches _segred_bwd's branch exactly."""
+    from tpugs.ops.pallas import pack as _pack
+
+    p_al = _pack.p_aligned_chunked(cfg.pair_capacity, cfg.num_tiles)
+    return not (p_al >= _SORTED_SEGRED_MIN and n < (1 << 24))
+
+
+def segred_dummy_meta():
+    """Placeholder metadata args for composite_tiles_pallas_segred when
+    segred_needs_meta() is False: (exp_slot, red_start, red_count, exp_end).
+    The (1,)-shape marks them as dummies — the classic branch refuses them."""
+    z = jnp.zeros((1,), jnp.int32)
+    return z, z, z, jnp.zeros((), jnp.int32)
+
+
 def _p_aligned(cfg: RasterConfig) -> int:
     """Aligned pair-list capacity for the ALIGN-granular align_segments
     layout: worst case adds ALIGN-1 pad per tile."""
@@ -423,6 +445,13 @@ def _segred_bwd(cfg, res, cot):
             key, cols, n, interpret=_interpret()
         )  # [ATTR_ROWS, n_pad]
     else:
+        if exp_slot.shape[0] <= 1:
+            raise ValueError(
+                "composite_tiles_pallas_segred got dummy reduction metadata "
+                "(segred_dummy_meta) but the sorted-key backward is "
+                "unavailable at this shape — caller must consult "
+                "segred_needs_meta with the same cfg/n"
+            )
         d_rows = _bwd_entry_rows(
             cfg, astart, _astop, attr, d_color, r0, final_t, kl, row_offset,
         )  # [P_aligned, OUT_LANES] — already segreduce's IN_LANES row width

@@ -15,9 +15,10 @@ astart[t]+count) of the aligned layout. A Pallas kernel with a grid over
 tiles moves each segment with sequential double-buffered DMAs (read at the
 128-floored compact offset, shift in VMEM, write at the aligned offset) —
 bandwidth-bound, no gathers, no ownership pass. Aligned segment starts are
-CHUNK-granular (512) so every chunk write lands wholly inside its own tile's
-aligned extent; gap lanes are zero-filled, which also zeroes the validity
-row (row 10), so downstream masking needs no separate valid array.
+LANE_ALIGN-granular (128 — see aligned_offsets for why chunk-write overrun
+into the next tile's region is safe by grid ordering); gap lanes are
+zero-filled, which also zeroes the validity row (row 10), so downstream
+masking needs no separate valid array.
 
 The attribute table additionally carries per-pair metadata the backward pass
 needs (reference exports these via its sorted pair list,
@@ -45,18 +46,32 @@ VALID_ROW = 10
 
 
 def aligned_offsets(tile_start, tile_stop):
-    """CHUNK-granular aligned segment starts from (possibly clamped) compact
-    segment bounds. Returns (astart [T], astop [T], counts [T]) int32."""
+    """LANE_ALIGN-granular aligned segment starts from (possibly clamped)
+    compact segment bounds. Returns (astart [T], astop [T], counts [T]) i32.
+
+    128-granular (not CHUNK): the compositor kernels only need 128-lane
+    starts (composite_tiles_pallas_pre already streams the 128-granular
+    bin_gaussians_aligned layout), and CHUNK granularity padded the aligned
+    domain ~4x more (avg CHUNK/2 vs LANE_ALIGN/2 gap per tile — ~0.5M of
+    3.0M slots at garden), a tax every [P_aligned]-scale op downstream
+    paid (backward-kernel output DMA, the segred key sort, masks). Chunk
+    DMAs may now overrun a segment's 128-padded end into the NEXT tile's
+    region; that is safe by ORDERING: the Pallas TPU grid is sequential and
+    every kernel waits its output DMAs before the step ends, so tile t's
+    overrun (align_copy writes zero-masked tails; the backward kernel
+    writes zero-filled buffers) lands before tile t+1 writes its real data
+    over it. Gap lanes therefore stay zero exactly as before."""
     counts = (tile_stop - tile_start).astype(jnp.int32)
-    padded = -(-counts // CHUNK) * CHUNK
+    padded = -(-counts // LANE_ALIGN) * LANE_ALIGN
     astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
     return astart, astart + counts, counts
 
 
 def p_aligned_chunked(pair_capacity: int, num_tiles: int) -> int:
-    """Aligned capacity for CHUNK-granular starts: worst case every tile adds
-    CHUNK-1 pad; +CHUNK tail slack (kernel reads whole chunks)."""
-    raw = pair_capacity + num_tiles * (CHUNK - 1)
+    """Aligned capacity for LANE_ALIGN-granular starts: worst case every
+    tile adds LANE_ALIGN-1 pad; +CHUNK tail slack (kernels read/write whole
+    CHUNK-wide windows past the last segment's padded end)."""
+    raw = pair_capacity + num_tiles * (LANE_ALIGN - 1)
     return -(-raw // CHUNK) * CHUNK + CHUNK
 
 
@@ -107,7 +122,9 @@ def _align_copy_kernel(start_ref, astart_ref, counts_ref,  # scalar prefetch
     def dma_out(slot, c):
         return pltpu.make_async_copy(
             out_buf.at[slot],
-            out_hbm.at[:, pl.ds(pl.multiple_of(a0 + c * CHUNK, CHUNK), CHUNK)],
+            out_hbm.at[
+                :, pl.ds(pl.multiple_of(a0 + c * CHUNK, LANE_ALIGN), CHUNK)
+            ],
             out_sems.at[slot],
         )
 

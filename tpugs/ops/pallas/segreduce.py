@@ -181,10 +181,11 @@ def segment_reduce_pallas(rows, estart, ecount, end_slot,
 # gaussian id that already rides the attribute rows (pack.GID_ROW), carrying
 # the NUM_ATTR gradient columns as sort payloads — payload movement is
 # streaming (measured ~1.2 ms/column at P=2.4M, scripts/bench_sort_payload)
-# rather than latency-bound. The stable 1-key sort groups each gaussian's
-# rows contiguously in ascending aligned (= tile) order — the same
-# summation order as the expansion domain — and the kernel then needs NO
-# interval tables at all: per-gaussian membership is an EQUALITY one-hot
+# rather than latency-bound. The 1-key sort groups each gaussian's rows
+# contiguously (order within a gid is arbitrary — an unstable sort saves
+# XLA's hidden stability-iota payload column; per-gid f32 summation order
+# wobbles at ulp scale but stays deterministic) and the kernel then needs
+# NO interval tables at all: per-gaussian membership is an EQUALITY one-hot
 # against the sorted key column (which rides the packed rows), and the
 # per-block slot ranges come from a small searchsorted (n/W + 1 queries —
 # the allowed small-query form, same as binning's tile_start).
@@ -262,8 +263,13 @@ def segment_reduce_sorted_pallas(key, grad_cols, n_pad: int,
     garbage from the key row — callers slice [:NUM_ATTR]).
     """
     p_al = key.shape[0]
+    # Unstable: XLA implements is_stable by appending a hidden s32 iota
+    # payload — one more full sorted column (~1.9 ms at garden scale).
+    # Order within a gid only permutes the f32 summation order of that
+    # gid's ~2-8 gradient rows (ulp-scale wobble); the reduction is
+    # deterministic either way (same input -> same output).
     skey, *scols = jax.lax.sort((key, *grad_cols), num_keys=1,
-                                is_stable=True)
+                                is_stable=False)
     n_w = -(-n_pad // W) * W
     nb = n_w // W
     # Per-block slot ranges: nb + 1 small queries over the sorted keys (the

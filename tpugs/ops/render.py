@@ -146,7 +146,7 @@ def render(
         # sequential chunk writes + one-hot MXU ownership. Same sorted
         # segments bit-for-bit (tests/test_expand_pallas.py).
         from tpugs.ops.binning import bin_gaussians_expand_kernel
-        from tpugs.ops.pallas.composite import _interpret
+        from tpugs.ops.pallas.composite import _interpret, segred_needs_meta
 
         # carry_attrs: the expand kernel streams the 9 compositor attribute
         # rows sequentially (the expansion is gaussian-major) and the pair
@@ -154,31 +154,44 @@ def render(
         # replacing the latency-bound [P]-row pack gather (~17 ms of the
         # 1080p/1M viewer frame). Bit-identical attributes (one-hot matmul
         # at precision=HIGHEST), so images and gradients are unchanged.
+        # reduce_meta only when the segred backward's CLASSIC branch will
+        # run — the sorted-key default never reads the expansion metadata,
+        # and its exp_slot sort payload alone costs ~1.2 ms/M pairs.
+        meta_needed = segred_needs_meta(cfg, means.shape[0])
         binning = bin_gaussians_expand_kernel(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, interpret=_interpret(),
-            presorted=bool(presort), reduce_meta=need_grads,
+            presorted=bool(presort), reduce_meta=need_grads and meta_needed,
             carry_attrs=carry_attrs,
             quant_key_bits=quant_key_bits,
         )
+        segred = need_grads
     else:
         binning = bin_gaussians(
             proj_b, cfg.img_w, cfg.img_h, cfg.tile_w, cfg.tile_h,
             cfg.pair_capacity, presorted=bool(presort),
         )
+        segred = False
     binning, max_tile_hits = clamp_tile_segments(binning, cfg.max_hits_per_tile)
-    if compositor == "pallas" and binning.exp_slot is not None:
+    if compositor == "pallas" and segred:
         # Segment-sum backward reduction (ops/pallas/segreduce.py): replaces
         # the XLA pair->gauss scatter-add — the train step's largest op
         # (225 ms of a 336 ms garden step, docs/PERF_NOTES.md r3).
-        from tpugs.ops.pallas.composite import composite_tiles_pallas_segred
+        from tpugs.ops.pallas.composite import (
+            composite_tiles_pallas_segred,
+            segred_dummy_meta,
+        )
 
         b = binning
+        meta = (
+            (b.exp_slot, b.red_start, b.red_count, b.exp_end)
+            if b.exp_slot is not None
+            else segred_dummy_meta()
+        )
 
         def composite_fn(cfg_, ts, tp, pg, m2, cn, rg, op, bgv):
             return composite_tiles_pallas_segred(
-                cfg_, ts, tp, pg, b.pair_tile, b.exp_slot, b.red_start,
-                b.red_count, b.exp_end, m2, cn, rg, op, bgv,
+                cfg_, ts, tp, pg, b.pair_tile, *meta, m2, cn, rg, op, bgv,
                 attr_c=b.attr_c,
             )
     elif compositor == "pallas":

@@ -211,6 +211,8 @@ def exchange_and_render_local(
             _interpret,
             composite_tiles_pallas,
             composite_tiles_pallas_segred,
+            segred_dummy_meta,
+            segred_needs_meta,
         )
 
         # carry_attrs off: the sliced pack gather beats sort payloads at
@@ -221,20 +223,29 @@ def exchange_and_render_local(
         # pair->gauss scatter-add it replaced (225 ms of a 336 ms garden
         # step, docs/PERF_NOTES.md r3; VERDICT r4 item 4). The metadata is
         # slice-local by construction: counts/offsets come from the
-        # row-clipped rects and exp_slot rides the slice-localized sort.
+        # row-clipped rects and exp_slot rides the slice-localized sort —
+        # and is skipped entirely when the sorted-key backward will run
+        # (segred_needs_meta, same predicate as the single-device path).
+        meta_needed = segred_needs_meta(local_cfg, work.means2d.shape[0])
         binning = bin_gaussians_expand_kernel(
             work, raster.img_w, raster.img_h, raster.tile_w, raster.tile_h,
             local_cfg.pair_capacity, interpret=_interpret(), presorted=True,
-            reduce_meta=need_grads, tile_row_lo=row_lo, num_tile_rows=rpd,
+            reduce_meta=need_grads and meta_needed,
+            tile_row_lo=row_lo, num_tile_rows=rpd,
         )
         binning, max_tile_hits = clamp_tile_segments(
             binning, local_cfg.max_hits_per_tile
         )
         if need_grads:
+            meta = (
+                (binning.exp_slot, binning.red_start, binning.red_count,
+                 binning.exp_end)
+                if binning.exp_slot is not None
+                else segred_dummy_meta()
+            )
             color_t, final_t, nc_t = composite_tiles_pallas_segred(
                 local_cfg, binning.tile_start, binning.tile_stop,
-                binning.pair_gauss, binning.pair_tile, binning.exp_slot,
-                binning.red_start, binning.red_count, binning.exp_end,
+                binning.pair_gauss, binning.pair_tile, *meta,
                 work.means2d, work.conic, work.rgb,
                 work.opac, background, row_lo, attr_c=binning.attr_c,
             )
