@@ -124,7 +124,7 @@ class TestRenderCached:
                              (0.0, 0.0, 0.0))
         st = r._icache
         assert st is not None and st["age"] == 1
-        # ~0.06 degrees: well inside reanchor_deg=1.0 -> same anchor.
+        # ~0.06 degrees: well inside reanchor_deg=0.25 -> same anchor.
         r.render_interactive(H, W, _rot_y(0.001), INTR, (0.0, 0.0, 0.0))
         assert r._icache is st and st["age"] == 2
         # ~11 degrees: re-anchors.

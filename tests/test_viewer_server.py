@@ -71,13 +71,14 @@ class TestViewerControls:
         drag = _decode(server.render_jpeg({"scale": 2, "azimuth": 0.1}))
         assert server.renderer._icache is not None  # cached path was taken
         assert drag.shape == (32, 32, 3)
-        # A nearby drag frame reuses the anchor.
+        # A nearby drag frame (0.002 rad = 0.11 deg < the 0.25 deg
+        # re-anchor threshold) reuses the anchor.
         st = server.renderer._icache
-        drag2 = _decode(server.render_jpeg({"scale": 2, "azimuth": 0.105}))
+        drag2 = _decode(server.render_jpeg({"scale": 2, "azimuth": 0.102}))
         assert server.renderer._icache is st
         assert not np.array_equal(drag, drag2)  # camera delta is rendered
         # Depth/heatmap and full-res requests stay on the exact path.
         age = st["age"]
-        server.render_jpeg({"scale": 2, "mode": "depth", "azimuth": 0.105})
-        server.render_jpeg({"azimuth": 0.105})
+        server.render_jpeg({"scale": 2, "mode": "depth", "azimuth": 0.102})
+        server.render_jpeg({"azimuth": 0.102})
         assert server.renderer._icache["age"] == age

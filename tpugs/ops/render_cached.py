@@ -17,16 +17,24 @@ interactive camera poses. This module splits the frame:
                            straight into the Pallas compositor. No binning,
                            no sort, NO [P]-row gather.
 
-Approximation contract (viewer-only; quantified in docs/PERF_NOTES.md):
+Approximation contract (viewer-only; quantified by the r5 drift ladder in
+docs/PERF_NOTES.md, scripts/quantify_cached_drift.py):
 - tile membership and front-to-back compositing order are the anchor
   camera's. Per-pair positions/footprints are exact for the new camera, so
   the error is (a) gaussians missing from tiles their footprint newly
   entered and (b) bounded alpha-blend order flips between near-equal depths.
-  Both grow with camera delta; the viewer re-anchors on a motion threshold.
+  (a) dominates and kicks in at screen shifts of ~half a tile: at the
+  1080p/1M bench geometry, 0.25 deg of orbit (~7 px) holds >= 35 dB vs the
+  exact frame, 0.5 deg (~15 px) 27 dB, 1 deg (a full 32 px tile) 15 dB —
+  hence the viewer's 0.25-deg re-anchor default (viewer/offline.py).
 - rgb is the anchor's SH evaluation (view direction drifts during a drag).
 At zero camera delta the output is bit-identical to
-render(presort="qkey", need_grads=False) — pinned by
-tests/test_render_cached.py.
+render(presort="qkey", need_grads=False) in interpret mode — pinned by
+tests/test_render_cached.py. On TPU hardware the same comparison sits at a
+~38 dB floor (mean |dC| 0.003): the exact path's projection chain compiles
+into different fusions than the cached one, and with
+--xla_allow_excess_precision ulp-level depth differences flip quantized
+pair-key ties, reordering near-equal-depth splats (docs/PERF_NOTES.md).
 
 This mirrors how the 3DGS ecosystem's interactive splat viewers render with
 a stale global depth sort that a worker refreshes asynchronously; here the

@@ -60,7 +60,7 @@ class OfflineRenderer:
                  tile: int = 32, pair_capacity: int = 1 << 21,
                  max_hits: int = 2048, on_overflow: str = "grow",
                  log=None, presort: str = "fastest",
-                 reanchor_deg: float = 1.0, reanchor_shift_frac: float = 0.01,
+                 reanchor_deg: float = 0.25, reanchor_shift_frac: float = 0.01,
                  reanchor_frames: int = 0):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         n = self.params["means"].shape[0]
@@ -88,6 +88,14 @@ class OfflineRenderer:
         # the camera rotated > reanchor_deg degrees or its center moved
         # > reanchor_shift_frac of its distance-to-target since the anchor
         # (or after reanchor_frames cached frames; 0 = no frame limit).
+        # Default 0.25 deg from the r5 drift ladder (scripts/
+        # quantify_cached_drift.py, docs/PERF_NOTES.md): the dominant error
+        # is ANCHOR TILE MEMBERSHIP going stale, which kicks in at screen
+        # shifts of ~half a tile — 0.25 deg ~= 7 px at the 1080p bench
+        # geometry holds >=35 dB vs exact, 0.5 deg ~= 15 px drops to 27 dB
+        # and 1 deg ~= a full 32 px tile collapses to 15 dB. Faster drags
+        # simply re-anchor every frame (throughput degrades toward the
+        # exact-frame rate; quality never does).
         self.reanchor_deg = reanchor_deg
         self.reanchor_shift_frac = reanchor_shift_frac
         self.reanchor_frames = reanchor_frames
