@@ -218,12 +218,14 @@ class TestEwaveKnob:
     """TPUGS_EWAVE (sub-wave depth) is a pure perf knob — every value must
     be exact. Pins the non-default shapes the TPU sweep uses."""
 
-    @pytest.mark.parametrize("ewave", [8, 16, 32])
-    def test_ewave_parity(self, monkeypatch, ewave):
+    @pytest.mark.parametrize("ewave,ewave_bwd", [(8, 8), (16, 32), (32, 128)])
+    def test_ewave_parity(self, monkeypatch, ewave, ewave_bwd):
         from tpugs.ops.pallas import composite_t as ct
 
         monkeypatch.setattr(ct, "EWAVE", ewave)
         monkeypatch.setattr(ct, "GSUB", ct.GROUP // ewave)
+        monkeypatch.setattr(ct, "EWAVE_BWD", ewave_bwd)
+        monkeypatch.setattr(ct, "GSUB_BWD", ct.GROUP // ewave_bwd)
         params = make_params(60, seed=13)
         op = run(params, "pallas", cfg=CFG32)
         os_ = run(params, "scan", cfg=CFG32)

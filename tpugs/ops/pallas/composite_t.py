@@ -69,6 +69,12 @@ GROUP = 128  # entries per dynamically-indexed lane group (Mosaic requires
 #              dynamic lane offsets provably 128-aligned; the EWAVE sub-wave
 #              slices inside a group are STATIC, which is free)
 GSUB = GROUP // EWAVE  # sub-waves unrolled per group
+EWAVE_BWD = int(_os.environ.get("TPUGS_EWAVE_BWD", str(EWAVE)))  # backward
+#              sub-wave depth, its own knob: the backward pays TWO prefix
+#              trees per sub-wave (suffix prod + suffix sum) plus the piece
+#              transpose, so its log2(E)/E amortization optimum can sit
+#              deeper than the forward's
+GSUB_BWD = GROUP // EWAVE_BWD
 CHUNK = 512  # entries per DMA chunk
 OUT_LANES = 128  # backward-output row width: NUM_ATTR gradient lanes padded
 #                  to one full lane tile. The backward emits ENTRY-MAJOR
@@ -407,12 +413,12 @@ def _bwd_kernel(cfg: RasterConfig, transposed: bool,
             base_g = g * GROUP
             grp = in_buf[slot, :, pl.ds(pl.multiple_of(base_g, GROUP), GROUP)]
 
-            pieces = [None] * GSUB
-            for j in reversed(range(GSUB)):
-                base_idx = c * CHUNK + base_g + j * EWAVE
+            pieces = [None] * GSUB_BWD
+            for j in reversed(range(GSUB_BWD)):
+                base_idx = c * CHUNK + base_g + j * EWAVE_BWD
                 attr_t = jnp.transpose(
-                    grp[:, j * EWAVE:(j + 1) * EWAVE]
-                )  # (EWAVE, ATTR_ROWS)
+                    grp[:, j * EWAVE_BWD:(j + 1) * EWAVE_BWD]
+                )  # (EWAVE_BWD, ATTR_ROWS)
                 dx, dy, gauss, alpha_raw, alpha, passes, kidx = _wave_alpha_t(
                     attr_t, px, py, base_idx, num
                 )
@@ -465,7 +471,8 @@ def _bwd_kernel(cfg: RasterConfig, transposed: bool,
                         rsum(w_px * dcr),  # d r
                         rsum(w_px * dcg),  # d g
                         rsum(w_px * dcb),  # d b
-                        jnp.zeros((EWAVE, width - NUM_ATTR), jnp.float32),
+                        jnp.zeros((EWAVE_BWD, width - NUM_ATTR),
+                                  jnp.float32),
                     ],
                     axis=1,
                 )  # (EWAVE, width)
